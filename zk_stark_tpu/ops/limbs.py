@@ -1,0 +1,322 @@
+"""Device field arithmetic: GF(p) elements as 8x16-bit limbs in uint32 arrays.
+
+This is the TPU-native replacement for the reference's scalar modular kernel
+(ref: /root/reference/src/field/field.rs:101-169).  Where the reference does a
+128-iteration double-and-add per multiply, we do real limb multiplication with
+Montgomery reduction — fully elementwise, so every op vectorizes over arbitrary
+leading array dimensions on the VPU (8x128 lanes) and shards trivially under
+pjit/shard_map.
+
+Representation
+--------------
+* An element is ``uint32[..., 8]``: little-endian 16-bit limbs (each < 2^16).
+* On-device values are kept in **Montgomery form** ``x * R mod p`` with
+  ``R = 2^128``; conversions happen only at host boundaries
+  (:func:`to_mont` / :func:`from_mont`, :func:`ints_to_mont` /
+  :func:`mont_to_ints`).
+* Montgomery multiplication is product-scanning over 16-bit digits: all partial
+  products fit uint32 exactly (16x16 -> 32), column accumulators stay < 2^22,
+  and carry chains are short fixed Python-unrolled loops (vectorized across
+  elements).
+
+All functions are pure jnp and jit/vmap/shard_map friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# -----------------------------------------------------------------------------
+# Constants
+# -----------------------------------------------------------------------------
+
+P = 1 + 407 * (1 << 119)  # field prime (ref: field/field.rs:10)
+NLIMB = 8
+LIMB_BITS = 16
+MASK = (1 << LIMB_BITS) - 1
+
+R_INT = (1 << 128) % P          # Montgomery radix mod p
+R2_INT = R_INT * R_INT % P      # R^2 mod p, for to_mont
+# p' with p * p' == -1 (mod 2^16), for digit-serial REDC
+NPRIME = (-pow(P, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+
+P_LIMBS = tuple((P >> (LIMB_BITS * k)) & MASK for k in range(NLIMB))
+
+
+def int_to_limbs(x: int) -> np.ndarray:
+    """Python int -> uint32[8] limb vector (canonical domain)."""
+    return np.array(
+        [(x >> (LIMB_BITS * k)) & MASK for k in range(NLIMB)], dtype=np.uint32
+    )
+
+
+def ints_to_limbs(vals) -> np.ndarray:
+    """Sequence of Python ints -> uint32[n, 8] (canonical domain)."""
+    arr = np.array([int(v) for v in vals], dtype=object)
+    out = np.empty(arr.shape + (NLIMB,), dtype=np.uint32)
+    for k in range(NLIMB):
+        out[..., k] = ((arr >> (LIMB_BITS * k)) & MASK).astype(np.uint32)
+    return out
+
+
+def limbs_to_ints(limbs) -> np.ndarray:
+    """uint32[..., 8] -> object ndarray of Python ints (canonical domain)."""
+    arr = np.asarray(limbs)
+    acc = np.zeros(arr.shape[:-1], dtype=object)
+    for k in reversed(range(NLIMB)):
+        acc = (acc << LIMB_BITS) | arr[..., k].astype(object)
+    return acc
+
+
+# Device-constant limb vectors.
+ZERO_LIMBS = int_to_limbs(0)
+ONE_MONT = int_to_limbs(R_INT)          # Montgomery representation of 1
+R2_LIMBS = int_to_limbs(R2_INT)
+P_ARR = int_to_limbs(P)
+
+
+# -----------------------------------------------------------------------------
+# Add / sub / neg (canonical or Montgomery domain — both are mod-p residues)
+# -----------------------------------------------------------------------------
+
+
+def _raw_add(a, b):
+    """Limbwise add with carry propagation; returns (limbs, carry_out)."""
+    out = []
+    carry = jnp.zeros_like(a[..., 0])
+    for k in range(NLIMB):
+        s = a[..., k] + b[..., k] + carry
+        out.append(s & MASK)
+        carry = s >> LIMB_BITS
+    return jnp.stack(out, axis=-1), carry
+
+
+def _raw_sub(a, b):
+    """Limbwise subtract with borrow; returns (limbs, borrow_out in {0,1})."""
+    out = []
+    borrow = jnp.zeros_like(a[..., 0])
+    for k in range(NLIMB):
+        need = b[..., k] + borrow
+        ak = a[..., k]
+        d = (ak | jnp.uint32(1 << LIMB_BITS)) - need  # lend a bit to avoid wrap
+        out.append(d & MASK)
+        borrow = 1 - (d >> LIMB_BITS)
+    return jnp.stack(out, axis=-1), borrow
+
+
+def _sub_p(a):
+    """a - p with borrow; returns (limbs, borrow_out)."""
+    out = []
+    borrow = jnp.zeros_like(a[..., 0])
+    for k in range(NLIMB):
+        need = jnp.uint32(P_LIMBS[k]) + borrow
+        d = (a[..., k] | jnp.uint32(1 << LIMB_BITS)) - need
+        out.append(d & MASK)
+        borrow = 1 - (d >> LIMB_BITS)
+    return jnp.stack(out, axis=-1), borrow
+
+
+def _add_p(a):
+    out = []
+    carry = jnp.zeros_like(a[..., 0])
+    for k in range(NLIMB):
+        s = a[..., k] + jnp.uint32(P_LIMBS[k]) + carry
+        out.append(s & MASK)
+        carry = s >> LIMB_BITS
+    return jnp.stack(out, axis=-1), carry
+
+
+def add_mod(a, b):
+    """(a + b) mod p on uint32[..., 8]; inputs in [0, p)."""
+    s, carry = _raw_add(a, b)
+    d, borrow = _sub_p(s)
+    take_d = (carry == 1) | (borrow == 0)
+    return jnp.where(take_d[..., None], d, s)
+
+
+def sub_mod(a, b):
+    """(a - b) mod p on uint32[..., 8]; inputs in [0, p)."""
+    d, borrow = _raw_sub(a, b)
+    dp, _ = _add_p(d)
+    return jnp.where((borrow == 1)[..., None], dp, d)
+
+
+def neg_mod(a):
+    """(-a) mod p."""
+    zero = jnp.zeros_like(a)
+    return sub_mod(zero, a)
+
+
+def is_zero(a):
+    """Boolean mask [...,]: element == 0 (works in either domain: 0*R = 0)."""
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+# -----------------------------------------------------------------------------
+# Montgomery multiplication (product scanning over 16-bit digits)
+# -----------------------------------------------------------------------------
+
+
+def mont_mul(a, b):
+    """Montgomery product: returns a*b*R^-1 mod p, inputs/outputs in [0, p).
+
+    If a and b are Montgomery forms (xR, yR) the result is (xy)R.
+    Column bounds: initial columns < 16*2^16 = 2^20; each of the 8 REDC steps
+    adds < 2^17 + small carry, so columns stay < 2^22 << 2^32.
+    """
+    az = a[..., 0] * jnp.uint32(0)  # broadcast-shaped zero
+    t = [az + b[..., 0] * jnp.uint32(0) for _ in range(2 * NLIMB + 1)]
+
+    # Schoolbook product into 16-bit columns (lo/hi split keeps sums small).
+    for i in range(NLIMB):
+        ai = a[..., i]
+        for j in range(NLIMB):
+            prod = ai * b[..., j]  # < 2^32, exact in uint32
+            t[i + j] = t[i + j] + (prod & MASK)
+            t[i + j + 1] = t[i + j + 1] + (prod >> LIMB_BITS)
+
+    # Digit-serial REDC: clear the low 8 digits.
+    for k in range(NLIMB):
+        m = (t[k] * jnp.uint32(NPRIME)) & MASK
+        for j in range(NLIMB):
+            mp = m * jnp.uint32(P_LIMBS[j])
+            t[k + j] = t[k + j] + (mp & MASK)
+            t[k + j + 1] = t[k + j + 1] + (mp >> LIMB_BITS)
+        # t[k] is now == 0 (mod 2^16); push its carry up.
+        t[k + 1] = t[k + 1] + (t[k] >> LIMB_BITS)
+
+    # Collect result digits t[8..16] with final carry propagation.
+    out = []
+    carry = az
+    for k in range(NLIMB, 2 * NLIMB):
+        v = t[k] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    res = jnp.stack(out, axis=-1)
+    top = t[2 * NLIMB] + carry  # result < 2p, so top is 0 or 1
+
+    # Conditional subtract p.
+    d, borrow = _sub_p(res)
+    take_d = (top > 0) | (borrow == 0)
+    return jnp.where(take_d[..., None], d, res)
+
+
+def mont_sqr(a):
+    return mont_mul(a, a)
+
+
+def to_mont(a):
+    """Canonical -> Montgomery: a * R mod p."""
+    r2 = jnp.asarray(R2_LIMBS)
+    return mont_mul(a, jnp.broadcast_to(r2, a.shape))
+
+
+def from_mont(a):
+    """Montgomery -> canonical: a * R^-1 mod p."""
+    one = int_to_limbs(1)
+    return mont_mul(a, jnp.broadcast_to(jnp.asarray(one), a.shape))
+
+
+def ints_to_mont(vals) -> jax.Array:
+    """Host ints -> device uint32[n, 8] Montgomery form."""
+    mont = [int(v) % P * R_INT % P for v in vals]
+    return jnp.asarray(ints_to_limbs(mont))
+
+
+def int_to_mont(v: int) -> jax.Array:
+    """Host int -> device uint32[8] Montgomery form."""
+    return jnp.asarray(int_to_limbs(int(v) % P * R_INT % P))
+
+
+def mont_to_ints(arr) -> np.ndarray:
+    """Device Montgomery array -> object ndarray of canonical Python ints."""
+    canonical = jax.device_get(_from_mont_jit(jnp.asarray(arr)))
+    return limbs_to_ints(canonical)
+
+
+_from_mont_jit = jax.jit(from_mont)
+
+
+# -----------------------------------------------------------------------------
+# Exponentiation and batched inversion
+# -----------------------------------------------------------------------------
+
+
+#: Exponents at or below this bit length are unrolled at trace time; larger
+#: ones run as a lax.scan over exponent bits so only one multiply body is
+#: compiled (compile time matters: one mont_mul instance is ~450 HLO ops).
+_POW_UNROLL_BITS = 8
+
+
+def mont_pow(a, e: int):
+    """a^e in Montgomery domain (e is a static Python int >= 0)."""
+    one = jnp.broadcast_to(jnp.asarray(ONE_MONT), a.shape)
+    if e == 0:
+        return one
+    bits = bin(e)[2:]
+    if len(bits) <= _POW_UNROLL_BITS:
+        acc = a
+        for bit in bits[1:]:
+            acc = mont_sqr(acc)
+            if bit == "1":
+                acc = mont_mul(acc, a)
+        return acc
+
+    # Scanned square-and-multiply, MSB first.
+    bit_arr = jnp.asarray([int(b) for b in bits], dtype=jnp.uint32)
+
+    def body(acc, bit):
+        acc = mont_sqr(acc)
+        with_mul = mont_mul(acc, a)
+        acc = jnp.where((bit == 1)[..., None], with_mul, acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, one, bit_arr)
+    return acc
+
+
+def mont_inv_fermat(a):
+    """Elementwise inverse via Fermat: a^(p-2).  inv(0) == 0 naturally."""
+    return mont_pow(a, P - 2)
+
+
+def batch_inv(a, axis: int = 0):
+    """Elementwise batched inversion (Fermat via scanned pow).
+
+    One multiply body compiled per shape (compile-friendly); runtime ~256
+    full-array multiplies.  inv(0) == 0, matching the reference convention
+    (ref: field/field.rs:160-169).  Inversion is off the hot path (a handful
+    of calls per prove), so this favors compile time; a scan-blocked
+    Montgomery batch trick can replace it later if profiling warrants.
+    """
+    del axis  # elementwise; kept for API stability
+    return mont_inv_fermat(a)
+
+
+# -----------------------------------------------------------------------------
+# Jitted entry points (cached per input shape)
+# -----------------------------------------------------------------------------
+
+add_mod_jit = jax.jit(add_mod)
+sub_mod_jit = jax.jit(sub_mod)
+neg_mod_jit = jax.jit(neg_mod)
+mont_mul_jit = jax.jit(mont_mul)
+batch_inv_jit = jax.jit(batch_inv, static_argnames=("axis",))
+to_mont_jit = jax.jit(to_mont)
+
+
+@functools.lru_cache(maxsize=None)
+def _mont_pow_jit(e: int):
+    return jax.jit(lambda a: mont_pow(a, e))
+
+
+def mont_pow_jit(a, e: int):
+    return _mont_pow_jit(e)(a)
