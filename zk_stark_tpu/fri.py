@@ -1,0 +1,336 @@
+"""FRI low-degree proofs: commit / fold / query / verify.
+
+Same protocol as the reference (ref: /root/reference/src/fri.rs:13-417) —
+identical transcript bytes, index sampling, and colinearity checks — with the
+compute redesigned TPU-first:
+
+* the split-and-fold round
+  ``cw'[i] = 1/2 * ((1 + a/(o*w^i)) * cw[i] + (1 - a/(o*w^i)) * cw[i+n/2])``
+  runs as one fused elementwise device kernel using the algebraic form
+  ``1/2 * ((L + R) + f_i * (L - R))`` with a precomputed inverse power table
+  (no per-element division);
+* Merkle layers are built once per round and queries answered in O(log n)
+  (the reference re-hashes the whole codeword per opening).
+
+The host drives the round loop (Fiat-Shamir is inherently sequential).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import merkle
+from .field import Field
+from .ops import limbs as L
+from .ops.ntt import intt_mont, ntt_mont, powers_mont, scalar_mul_mont
+from .ops.poly_ops import DPoly
+from .poly import Polynomial
+from .proof_stream import Codeword, Leafs, Path, ProofStream, Root
+from .utils.bits import bit_index
+from .utils.hashing import PROOF_BYTES, blake2b512
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_kernel(n: int):
+    half = n // 2
+
+    def kernel(cw, factors, two_inv):
+        lo, hi = cw[:half], cw[half:]
+        s = L.add_mod(lo, hi)
+        d = L.sub_mod(lo, hi)
+        folded = L.add_mod(s, L.mont_mul(factors, d))
+        return L.mont_mul(jnp.broadcast_to(two_inv, folded.shape), folded)
+
+    return jax.jit(kernel)
+
+
+class FRI:
+    """(ref: fri.rs:13-38)"""
+
+    def __init__(
+        self,
+        field: Field,
+        offset: int,
+        omega: int,
+        domain_length: int,
+        expansion_factor: int,
+        num_colinearity_tests: int,
+    ):
+        self.field = field
+        self.offset = offset
+        self.omega = omega
+        self.domain_length = domain_length
+        self.expansion_factor = expansion_factor
+        self.num_colinearity_tests = num_colinearity_tests
+
+    def num_rounds(self) -> int:
+        """(ref: fri.rs:40-50)"""
+        codeword_length = self.domain_length
+        num = 0
+        while (
+            codeword_length > self.expansion_factor
+            and codeword_length > 4 * self.num_colinearity_tests
+        ):
+            codeword_length //= 2
+            num += 1
+        return num
+
+    def evaluate_domain(self) -> list[int]:
+        """Host list of coset points offset * omega^i (ref: fri.rs:52-58)."""
+        p = self.field.order
+        out, cur = [], self.offset % p
+        for _ in range(self.domain_length):
+            out.append(cur)
+            cur = cur * self.omega % p
+        return out
+
+    # -- index sampling (ref: fri.rs:60-113) ---------------------------------
+
+    def sample_index(self, data: bytes, size: int) -> int:
+        assert size != 0, "modulo zero is impossible"
+        bytes_num = bit_index(size) // 8 + 1
+        tail = data[-bytes_num:] if bytes_num <= len(data) else data
+        acc = 0
+        for b in tail:
+            acc = (acc << 8) ^ b
+        return acc % size
+
+    def sample_indices(
+        self, seed: bytes, size: int, reduced_size: int, number: int
+    ) -> list[int]:
+        assert number <= 2 * reduced_size, (
+            "not enough entropy in indices wrt last codeword"
+        )
+        assert number <= reduced_size, (
+            "cannot sample more indices than available in last codeword"
+        )
+        indices: list[int] = []
+        reduced_indices: list[int] = []
+        counter = 0
+        while len(indices) < number:
+            # quirk kept from the reference: the counter appends that many
+            # zero BYTES, not a counter value (ref: fri.rs:100)
+            index = self.sample_index(
+                blake2b512(seed + bytes(counter)), size
+            )
+            reduced = index % reduced_size
+            counter += 1
+            if reduced not in reduced_indices:
+                indices.append(index)
+                reduced_indices.append(reduced)
+        return indices
+
+    # -- prover --------------------------------------------------------------
+
+    def _fold(self, cw_dev: jax.Array, alpha: int, offset: int, omega: int):
+        n = cw_dev.shape[0]
+        p = self.field.order
+        scale = alpha * pow(offset, -1, p) % p
+        factors = scalar_mul_mont(
+            powers_mont(pow(omega, -1, p), n // 2), scale
+        )
+        two_inv = L.int_to_mont(pow(2, -1, p))
+        return _fold_kernel(n)(cw_dev, factors, two_inv)
+
+    def commit(self, codeword_dev: jax.Array, proof_stream: ProofStream):
+        """(ref: fri.rs:115-172).  Returns list of (ints, MerkleTree)."""
+        p = self.field.order
+        omega, offset = self.omega, self.offset
+        num_rounds = self.num_rounds()
+
+        committed: list[tuple[list[int], merkle.MerkleTree]] = []
+        cw_dev = codeword_dev
+
+        last = None
+        for r in range(num_rounds):
+            n = cw_dev.shape[0]
+            assert pow(omega, n - 1, p) == pow(omega, -1, p), (
+                "error in commit: omega does not have the right order"
+            )
+            ints = [int(v) for v in L.mont_to_ints(cw_dev)]
+            tree = merkle.MerkleTree.from_ints(ints)
+            proof_stream.push(Root(tree.root))
+
+            if r == num_rounds - 1:
+                last = (ints, tree)
+                break
+
+            alpha = self.field.sample(
+                proof_stream.fiat_shamir_prover(PROOF_BYTES)
+            ).value
+            committed.append((ints, tree))
+
+            cw_dev = self._fold(cw_dev, alpha, offset, omega)
+            omega = omega * omega % p
+            offset = offset * offset % p
+
+        proof_stream.push(Codeword(tuple(last[0])))
+        committed.append(last)
+        return committed
+
+    def query(
+        self,
+        current: tuple[list[int], merkle.MerkleTree],
+        nxt: tuple[list[int], merkle.MerkleTree],
+        indices_c: list[int],
+        proof_stream: ProofStream,
+    ) -> list[int]:
+        """(ref: fri.rs:174-208)"""
+        cur_ints, cur_tree = current
+        nxt_ints, nxt_tree = nxt
+        half = len(cur_ints) // 2
+        indices_a = list(indices_c)
+        indices_b = [i + half for i in indices_c]
+
+        for s in range(self.num_colinearity_tests):
+            proof_stream.push(
+                Leafs(
+                    (
+                        cur_ints[indices_a[s]],
+                        cur_ints[indices_b[s]],
+                        nxt_ints[indices_c[s]],
+                    )
+                )
+            )
+        for s in range(self.num_colinearity_tests):
+            proof_stream.push(Path(tuple(cur_tree.open(indices_a[s]))))
+            proof_stream.push(Path(tuple(cur_tree.open(indices_b[s]))))
+            proof_stream.push(Path(tuple(nxt_tree.open(indices_c[s]))))
+
+        return indices_a + indices_b
+
+    def prove(
+        self, codeword_dev: jax.Array, proof_stream: ProofStream
+    ) -> list[int]:
+        """(ref: fri.rs:210-248)"""
+        assert self.domain_length == codeword_dev.shape[0], (
+            "domain length does not match initial codeword length"
+        )
+        committed = self.commit(codeword_dev, proof_stream)
+
+        top_level_indices = self.sample_indices(
+            proof_stream.fiat_shamir_prover(PROOF_BYTES),
+            len(committed[1][0]),
+            len(committed[-1][0]),
+            self.num_colinearity_tests,
+        )
+        indices = list(top_level_indices)
+
+        for i in range(len(committed) - 1):
+            cur = committed[i]
+            indices = [idx % (len(cur[0]) // 2) for idx in indices]
+            self.query(cur, committed[i + 1], indices, proof_stream)
+
+        return top_level_indices
+
+    # -- verifier (host) -----------------------------------------------------
+
+    def verify(
+        self,
+        proof_stream: ProofStream,
+        polynomial_values: list[tuple[int, int]],
+    ) -> None:
+        """Raises ValueError on rejection (ref: fri.rs:250-416)."""
+        p = self.field.order
+        omega, offset = self.omega, self.offset
+        num_rounds = self.num_rounds()
+
+        roots, alphas = [], []
+        for _ in range(num_rounds):
+            roots.append(proof_stream.pull_root())
+            alphas.append(
+                self.field.sample(
+                    proof_stream.fiat_shamir_verifier(PROOF_BYTES)
+                ).value
+            )
+
+        last_codeword = list(proof_stream.pull_codeword())
+        if merkle.commit_ints(last_codeword) != roots[-1]:
+            raise ValueError("last codeword is not well formed")
+
+        # low-degree check (ref: fri.rs:281-328)
+        degree = len(last_codeword) // self.expansion_factor - 1
+        last_omega, last_offset = omega, offset
+        for _ in range(num_rounds - 1):
+            last_omega = last_omega * last_omega % p
+            last_offset = last_offset * last_offset % p
+
+        if pow(last_omega, -1, p) != pow(last_omega, len(last_codeword) - 1, p):
+            raise ValueError("omega does not have the right order")
+
+        coeffs = intt_mont(L.ints_to_mont(last_codeword), last_omega)
+        poly = DPoly(coeffs).scale(pow(last_offset, -1, p))
+        poly_degree = poly.degree()
+        if poly_degree is None:
+            raise ValueError("received none instead of polynomial degree")
+        if poly_degree > degree:
+            raise ValueError(
+                f"last codeword does not correspond to polynomial of low "
+                f"enough degree (it is {poly_degree} but should be <= {degree})"
+            )
+        reeval = [
+            int(v)
+            for v in L.mont_to_ints(
+                ntt_mont(poly.scale(last_offset).c, last_omega)
+            )
+        ]
+        if reeval != last_codeword:
+            raise ValueError("re-evaluated codeword does not match original")
+
+        top_level_indices = self.sample_indices(
+            proof_stream.fiat_shamir_verifier(PROOF_BYTES),
+            self.domain_length >> 1,
+            self.domain_length >> (num_rounds - 1),
+            self.num_colinearity_tests,
+        )
+
+        for r in range(num_rounds - 1):
+            indices_c = [
+                i % (self.domain_length >> (r + 1)) for i in top_level_indices
+            ]
+            indices_a = list(indices_c)
+            indices_b = [
+                i + (self.domain_length >> (r + 1)) for i in indices_a
+            ]
+
+            aa, bb, cc = [], [], []
+            for s in range(self.num_colinearity_tests):
+                ay, by, cy = proof_stream.pull_leafs()
+                aa.append(ay)
+                bb.append(by)
+                cc.append(cy)
+                if r == 0:
+                    polynomial_values.append((indices_a[s], ay))
+                    polynomial_values.append((indices_b[s], by))
+                ax = offset * pow(omega, indices_a[s], p) % p
+                bx = offset * pow(omega, indices_b[s], p) % p
+                cx = alphas[r]
+                if not Polynomial.test_colinearity(
+                    self.field, [(ax, ay), (bx, by), (cx, cy)]
+                ):
+                    raise ValueError("colinearity check failure")
+
+            for i in range(self.num_colinearity_tests):
+                path = proof_stream.pull_path()
+                if not merkle.verify_int(roots[r], indices_a[i], path, aa[i]):
+                    raise ValueError(
+                        "Merkle auth path verification failed for aa"
+                    )
+                path = proof_stream.pull_path()
+                if not merkle.verify_int(roots[r], indices_b[i], path, bb[i]):
+                    raise ValueError(
+                        "Merkle auth path verification failed for bb"
+                    )
+                path = proof_stream.pull_path()
+                if not merkle.verify_int(
+                    roots[r + 1], indices_c[i], path, cc[i]
+                ):
+                    raise ValueError(
+                        "Merkle auth path verification failed for cc"
+                    )
+
+            omega = omega * omega % p
+            offset = offset * offset % p

@@ -1,0 +1,521 @@
+"""STARK prover and verifier.
+
+Protocol-identical to the reference (ref: /root/reference/src/stark/stark.rs:17-771):
+same transcript bytes, same degree bookkeeping, same proof format.  The
+prover's compute is redesigned TPU-first:
+
+* trace interpolation over the first-k powers of omicron runs as the
+  O(n log n) device barycentric/NTT algorithm (ops.poly_ops.interpolate_first_k)
+  instead of the reference's recursive subproduct tree (stark.rs:305-326);
+* transition polynomials are obtained by evaluating the AIR *pointwise* on the
+  FRI coset (vectorized over constraint terms) and interpolating back with one
+  iNTT — mathematically identical to symbolic composition
+  (stark.rs:388-406) because the composition degree fits the coset size,
+  but it replaces symbolic polynomial powers with batched elementwise work;
+* codeword commitments, shifts and the weighted combination are device
+  elementwise ops; Merkle trees are built once and opened in O(log n).
+
+The verifier is host-side Python ints (it touches only O(checks * log n)
+field elements).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+from . import merkle
+from .field import Field
+from .fri import FRI
+from .ops import limbs as L
+from .ops.ntt import intt_mont, powers_mont
+from .ops.poly_ops import (
+    DPoly,
+    fast_coset_divide,
+    fast_coset_evaluate,
+    interpolate_first_k,
+    mpoly_evaluate_codewords,
+    zerofier_first_k,
+)
+from .poly import MPolynomial, Polynomial
+from .proof_stream import Path, ProofStream, Root, Value
+from .utils.bits import bit_count
+from .utils.hashing import PROOF_BYTES
+
+
+class ProvingError(Exception):
+    """Raised when the prover cannot produce a valid proof (e.g. the degree
+    sanity check rejects a false witness, ref: stark.rs:451-464)."""
+
+
+class VerificationError(Exception):
+    """Raised when a proof is rejected."""
+
+
+Boundary = Sequence[tuple[int, int, int]]  # (cycle, register, value)
+
+
+class Stark:
+    """(ref: stark.rs:70-114)"""
+
+    def __init__(
+        self,
+        field: Field,
+        expansion_factor: int,
+        num_collinearity_checks: int,
+        security_level: int,
+        num_registers: int,
+        num_cycles: int,
+        transition_constraints_degree: int,
+        rng: Callable[[int], bytes] = os.urandom,
+    ):
+        assert bit_count(field.order) >= security_level, (
+            f"field order must be at least {security_level} bits"
+        )
+        assert expansion_factor & (expansion_factor - 1) == 0, (
+            "expansion factor must be a power of 2"
+        )
+        assert expansion_factor >= 4, "expansion factor must be at least 4"
+        assert num_collinearity_checks * 2 >= security_level, (
+            f"number of collinearity checks must be at least half of "
+            f"{security_level}"
+        )
+
+        self.field = field
+        self.expansion_factor = expansion_factor
+        self.num_registers = num_registers
+        self.original_trace_length = num_cycles
+        self.num_randomizers = 4 * num_collinearity_checks
+        self._rng = rng
+
+        randomized_trace_length = num_cycles + self.num_randomizers
+        # quirk kept: 1 << bit_count(v) is strictly greater than v even for
+        # exact powers of two (ref: stark.rs:87 + utils/bits.py)
+        self.omicron_domain_length = 1 << bit_count(
+            randomized_trace_length * transition_constraints_degree
+        )
+        fri_domain_length = self.omicron_domain_length * expansion_factor
+
+        self.generator = field.generator().value
+        self.omega = field.primitive_nth_root(fri_domain_length).value
+        self.omicron = field.primitive_nth_root(
+            self.omicron_domain_length
+        ).value
+        self.fri = FRI(
+            field,
+            self.generator,
+            self.omega,
+            fri_domain_length,
+            expansion_factor,
+            num_collinearity_checks,
+        )
+
+    # -- degree bookkeeping (ref: stark.rs:116-186) --------------------------
+
+    def transition_degree_bounds(
+        self, transition_constraints: Sequence[MPolynomial]
+    ) -> list[int]:
+        point_degrees = [1] + [
+            self.original_trace_length + self.num_randomizers - 1
+        ] * (2 * self.num_registers)
+        res = []
+        for a in transition_constraints:
+            assert a.dictionary, "cannot calculate max on empty constraint"
+            best = 0
+            for k in a.dictionary:
+                total = sum(r * l for r, l in zip(point_degrees, k))
+                best = max(best, total)
+            res.append(best)
+        return res
+
+    def transition_quotient_degree_bounds(
+        self, transition_constraints: Sequence[MPolynomial]
+    ) -> list[int]:
+        return [
+            d - (self.original_trace_length - 1)
+            for d in self.transition_degree_bounds(transition_constraints)
+        ]
+
+    def max_degree(
+        self, transition_constraints: Sequence[MPolynomial]
+    ) -> int:
+        assert transition_constraints, "empty transition constraints"
+        md = max(self.transition_degree_bounds(transition_constraints))
+        return (1 << bit_count(md)) - 1
+
+    # -- zerofiers / interpolants (ref: stark.rs:188-260) --------------------
+
+    def transition_zerofier(self) -> DPoly:
+        """Zerofier over omicron^0..^(T-2) (ref: stark.rs:188-196)."""
+        return zerofier_first_k(
+            self.omicron,
+            self.omicron_domain_length,
+            self.original_trace_length - 1,
+        )
+
+    def boundary_zerofiers(self, boundary: Boundary) -> list[Polynomial]:
+        p = self.field.order
+        out = []
+        for s in range(self.num_registers):
+            domain = [
+                pow(self.omicron, c, p) for c, r, _ in boundary if r == s
+            ]
+            out.append(Polynomial.zerofier_domain(self.field, domain))
+        return out
+
+    def boundary_interpolants(self, boundary: Boundary) -> list[Polynomial]:
+        p = self.field.order
+        out = []
+        for s in range(self.num_registers):
+            domain = [
+                pow(self.omicron, c, p) for c, r, _ in boundary if r == s
+            ]
+            values = [v for _, r, v in boundary if r == s]
+            out.append(
+                Polynomial.interpolate_domain(self.field, domain, values)
+            )
+        return out
+
+    def boundary_quotient_degree_bounds(
+        self, randomized_trace_length: int, boundary: Boundary
+    ) -> list[int]:
+        randomized_trace_degree = randomized_trace_length - 1
+        return [
+            randomized_trace_degree - bz.degree()
+            for bz in self.boundary_zerofiers(boundary)
+        ]
+
+    def sample_weights(self, number: int, randomness: bytes) -> list[int]:
+        """(ref: stark.rs:262-274).  Quirk kept: the i-zero-byte prefix does
+        not change the 128-bit fold, so all weights coincide — reproduced
+        faithfully for transcript compatibility."""
+        return [
+            self.field.sample(bytes(i) + randomness).value
+            for i in range(number)
+        ]
+
+    # -- prover (ref: stark.rs:276-563) --------------------------------------
+
+    def prove(
+        self,
+        trace: Sequence[Sequence[int]],
+        transition_constraints: Sequence[MPolynomial],
+        boundary: Boundary,
+        proof_stream: Optional[ProofStream] = None,
+    ) -> bytes:
+        p = self.field.order
+        ps = proof_stream if proof_stream is not None else ProofStream(self.field)
+
+        # concatenate randomizers — induces zero knowledge (stark.rs:286-301)
+        trace = [list(row) for row in trace]
+        for _ in range(self.num_randomizers):
+            trace.append(
+                [
+                    self.field.sample(self._rng(17)).value
+                    for _ in range(self.num_registers)
+                ]
+            )
+        randomized_trace_length = len(trace)
+
+        # interpolate trace columns over omicron^0..^(T-1) (stark.rs:303-326)
+        trace_polynomials = [
+            interpolate_first_k(
+                self.omicron,
+                self.omicron_domain_length,
+                randomized_trace_length,
+                L.ints_to_mont([row[s] for row in trace]),
+            )
+            for s in range(self.num_registers)
+        ]
+
+        # boundary quotients (stark.rs:328-360)
+        boundary_interpolants = self.boundary_interpolants(boundary)
+        boundary_zerofiers = self.boundary_zerofiers(boundary)
+        boundary_quotients = []
+        for s in range(self.num_registers):
+            boundary_polynomial = trace_polynomials[s] - DPoly.from_ints(
+                boundary_interpolants[s].coeffs
+            )
+            boundary_quotients.append(
+                fast_coset_divide(
+                    boundary_polynomial,
+                    DPoly.from_ints(boundary_zerofiers[s].coeffs),
+                    self.generator,
+                    self.omicron,
+                    self.omicron_domain_length,
+                )
+            )
+
+        # commit to boundary quotient codewords (stark.rs:362-386)
+        fri_dl = self.fri.domain_length
+        boundary_quotient_codewords = []
+        boundary_quotient_trees = []
+        for s in range(self.num_registers):
+            cw = fast_coset_evaluate(
+                boundary_quotients[s], self.generator, self.omega, fri_dl
+            )
+            ints = [int(v) for v in L.mont_to_ints(cw)]
+            tree = merkle.MerkleTree.from_ints(ints)
+            boundary_quotient_codewords.append(ints)
+            boundary_quotient_trees.append(tree)
+            ps.push(Root(tree.root))
+
+        # transition quotients (stark.rs:388-420), via pointwise AIR
+        # evaluation on the FRI coset + one iNTT back to coefficients.
+        x_codeword = powers_mont(self.omega, fri_dl, scale_int=self.generator)
+        current_codewords = [
+            fast_coset_evaluate(tp, self.generator, self.omega, fri_dl)
+            for tp in trace_polynomials
+        ]
+        next_codewords = [
+            fast_coset_evaluate(
+                tp.scale(self.omicron), self.generator, self.omega, fri_dl
+            )
+            for tp in trace_polynomials
+        ]
+        point = [x_codeword] + current_codewords + next_codewords
+
+        transition_zerofier = self.transition_zerofier()
+        generator_inv = pow(self.generator, -1, p)
+        transition_quotients = []
+        for tc in transition_constraints:
+            tc_codeword = mpoly_evaluate_codewords(
+                {k: v for k, v in tc.dictionary.items()}, point
+            )
+            transition_polynomial = DPoly(
+                intt_mont(tc_codeword, self.omega)
+            ).scale(generator_inv)
+            transition_quotients.append(
+                fast_coset_divide(
+                    transition_polynomial,
+                    transition_zerofier,
+                    self.generator,
+                    self.omicron,
+                    self.omicron_domain_length,
+                )
+            )
+
+        # randomizer polynomial (stark.rs:422-445)
+        transition_constraints_degree = self.max_degree(transition_constraints)
+        randomizer_polynomial = DPoly.from_ints(
+            [
+                self.field.sample(self._rng(17)).value
+                for _ in range(transition_constraints_degree + 1)
+            ]
+        )
+        randomizer_codeword_dev = fast_coset_evaluate(
+            randomizer_polynomial, self.generator, self.omega, fri_dl
+        )
+        randomizer_codeword = [
+            int(v) for v in L.mont_to_ints(randomizer_codeword_dev)
+        ]
+        randomizer_tree = merkle.MerkleTree.from_ints(randomizer_codeword)
+        ps.push(Root(randomizer_tree.root))
+
+        # weights + degree sanity check (stark.rs:447-464)
+        weights = self.sample_weights(
+            1 + 2 * len(transition_quotients) + 2 * len(boundary_quotients),
+            ps.fiat_shamir_prover(PROOF_BYTES),
+        )
+        tq_degrees = [tq.degree() for tq in transition_quotients]
+        if any(d is None for d in tq_degrees):
+            raise ProvingError("failed to get degree of transition quotient")
+        if tq_degrees != self.transition_quotient_degree_bounds(
+            transition_constraints
+        ):
+            raise ProvingError(
+                "transition quotient degrees do not match with expectation"
+            )
+
+        # weighted combination terms (stark.rs:466-519)
+        terms: list[DPoly] = [randomizer_polynomial]
+        tq_bounds = self.transition_quotient_degree_bounds(
+            transition_constraints
+        )
+        for i, tq in enumerate(transition_quotients):
+            terms.append(tq)
+            shift = transition_constraints_degree - tq_bounds[i]
+            terms.append(tq.shift(shift))
+        bq_bounds = self.boundary_quotient_degree_bounds(
+            randomized_trace_length, boundary
+        )
+        for i, bq in enumerate(boundary_quotients):
+            terms.append(bq)
+            shift = transition_constraints_degree - bq_bounds[i]
+            terms.append(bq.shift(shift))
+
+        combination = DPoly.zero()
+        for w, term in zip(weights, terms):
+            combination = combination + term.const_mul(w)
+
+        combined_codeword = fast_coset_evaluate(
+            combination, self.generator, self.omega, fri_dl
+        )
+
+        # FRI low-degree proof (stark.rs:522)
+        indices = self.fri.prove(combined_codeword, ps)
+
+        # open boundary quotients and randomizer (stark.rs:524-560)
+        duplicated_indices = indices + [
+            (i + self.expansion_factor) % fri_dl for i in indices
+        ]
+        quadrupled_indices = sorted(
+            duplicated_indices
+            + [(i + fri_dl // 2) % fri_dl for i in duplicated_indices]
+        )
+
+        for ints, tree in zip(
+            boundary_quotient_codewords, boundary_quotient_trees
+        ):
+            for i in quadrupled_indices:
+                ps.push(Value(ints[i]))
+                ps.push(Path(tuple(tree.open(i))))
+        for i in quadrupled_indices:
+            ps.push(Value(randomizer_codeword[i]))
+            ps.push(Path(tuple(randomizer_tree.open(i))))
+
+        return ps.serialize()
+
+    # -- verifier (ref: stark.rs:565-770) ------------------------------------
+
+    def verify(
+        self,
+        transition_constraints: Sequence[MPolynomial],
+        boundary: Boundary,
+        proof_stream: ProofStream,
+    ) -> None:
+        """Raises VerificationError on rejection."""
+        p = self.field.order
+        ps = proof_stream
+
+        original_trace_length = 1 + max(c for c, _, _ in boundary)
+        randomized_trace_length = (
+            original_trace_length + self.num_randomizers
+        )
+
+        boundary_quotient_roots = [
+            ps.pull_root() for _ in range(self.num_registers)
+        ]
+        randomizer_root = ps.pull_root()
+
+        boundary_interpolants = self.boundary_interpolants(boundary)
+        weights = self.sample_weights(
+            1
+            + 2 * len(transition_constraints)
+            + 2 * len(boundary_interpolants),
+            ps.fiat_shamir_verifier(PROOF_BYTES),
+        )
+
+        points: list[tuple[int, int]] = []
+        try:
+            self.fri.verify(ps, points)
+        except ValueError as e:
+            raise VerificationError(f"FRI verification failed: {e}") from e
+        points.sort(key=lambda t: t[0])
+        indices = [i for i, _ in points]
+        values = [v for _, v in points]
+
+        duplicated_indices = sorted(
+            indices
+            + [
+                (i + self.expansion_factor) % self.fri.domain_length
+                for i in indices
+            ]
+        )
+
+        # boundary quotient leafs (stark.rs:637-658)
+        leafs: list[dict[int, int]] = []
+        for bqr in boundary_quotient_roots:
+            reg_leafs: dict[int, int] = {}
+            for i in duplicated_indices:
+                leaf = ps.pull_value()
+                path = ps.pull_path()
+                if not merkle.verify_int(bqr, i, path, leaf):
+                    raise VerificationError(
+                        f"boundary quotient root {i} is not verified"
+                    )
+                reg_leafs[i] = leaf
+            leafs.append(reg_leafs)
+
+        # randomizer leafs (stark.rs:660-674)
+        randomizers: dict[int, int] = {}
+        for i in duplicated_indices:
+            leaf = ps.pull_value()
+            path = ps.pull_path()
+            if not merkle.verify_int(randomizer_root, i, path, leaf):
+                raise VerificationError(f"randomizer leaf {i} not verified")
+            randomizers[i] = leaf
+
+        # combination check per index (stark.rs:676-770)
+        boundary_zerofiers = self.boundary_zerofiers(boundary)
+        transition_constraints_degree = self.max_degree(transition_constraints)
+        tq_bounds = self.transition_quotient_degree_bounds(
+            transition_constraints
+        )
+        bq_bounds = self.boundary_quotient_degree_bounds(
+            randomized_trace_length, boundary
+        )
+        transition_zerofier = Polynomial(
+            self.field, self.transition_zerofier().to_ints()
+        )
+
+        for index_i, index_current in enumerate(indices):
+            domain_current = (
+                self.fri.offset * pow(self.fri.omega, index_current, p) % p
+            )
+            index_next = (
+                index_current + self.expansion_factor
+            ) % self.fri.domain_length
+            domain_next = (
+                self.fri.offset * pow(self.fri.omega, index_next, p) % p
+            )
+
+            trace_current, trace_next = [], []
+            for s in range(self.num_registers):
+                zerofier = boundary_zerofiers[s]
+                interpolant = boundary_interpolants[s]
+                trace_current.append(
+                    (
+                        leafs[s][index_current]
+                        * zerofier.evaluate(domain_current)
+                        + interpolant.evaluate(domain_current)
+                    )
+                    % p
+                )
+                trace_next.append(
+                    (
+                        leafs[s][index_next] * zerofier.evaluate(domain_next)
+                        + interpolant.evaluate(domain_next)
+                    )
+                    % p
+                )
+
+            point = [domain_current] + trace_current + trace_next
+            transition_constraint_values = [
+                tc.evaluate(point) for tc in transition_constraints
+            ]
+
+            terms = [randomizers[index_current]]
+            tz_value = transition_zerofier.evaluate(domain_current)
+            tz_inv = pow(tz_value, -1, p)
+            for s, tcv in enumerate(transition_constraint_values):
+                quotient = tcv * tz_inv % p
+                terms.append(quotient)
+                shift = transition_constraints_degree - tq_bounds[s]
+                terms.append(
+                    quotient * pow(domain_current, shift, p) % p
+                )
+            for s in range(self.num_registers):
+                bqv = leafs[s][index_current]
+                terms.append(bqv)
+                shift = transition_constraints_degree - bq_bounds[s]
+                terms.append(bqv * pow(domain_current, shift, p) % p)
+
+            combination = 0
+            for w, term in zip(weights, terms):
+                combination = (combination + w * term) % p
+
+            if combination != values[index_i]:
+                raise VerificationError(
+                    "combination does not match with polynomial value"
+                )
