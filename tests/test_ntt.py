@@ -87,6 +87,29 @@ def test_pad_to_pow2():
     assert got == want
 
 
+def test_four_step_matches_flat():
+    # the large-size path decomposes into a [R, C] matrix transform; force it
+    # on a small size and compare against the flat kernel
+    from zk_stark_tpu.ops import ntt as ntt_mod
+
+    random.seed(9)
+    n = 1 << 6
+    vals = [random.randrange(FIELD_PRIME) for _ in range(n)]
+    root = F.primitive_nth_root(n).value
+    want = list(L.mont_to_ints(N.ntt_mont(L.ints_to_mont(vals), root)))
+
+    kernel, r, c = ntt_mod._four_step_kernel(n)
+    got_arr = kernel(
+        L.ints_to_mont(vals),
+        ntt_mod.powers_mont(pow(root, c, FIELD_PRIME), r // 2),
+        ntt_mod._brev(r),
+        ntt_mod.powers_mont(pow(root, r, FIELD_PRIME), c // 2),
+        ntt_mod._brev(c),
+        ntt_mod._twiddle_matrix(root, r, c),
+    )
+    assert list(L.mont_to_ints(got_arr)) == want
+
+
 def test_powers_mont():
     base = 12345678901234567890
     n = 37

@@ -32,17 +32,38 @@ from . import limbs as L
 # -----------------------------------------------------------------------------
 
 
+def pow_by_exponents(acc, basepows, exps, nbits: int):
+    """acc * base^exps elementwise, for an arbitrary uint32 exponent array.
+
+    ``acc``: [..., 8] Montgomery initial values (usually ones, or a scale);
+    ``basepows``: [nbits, 8] Montgomery base^(2^k) scalars;
+    ``exps``: [...] uint32 exponents (broadcastable against acc's batch dims).
+    One multiply body via fori_loop — compile-friendly at any size.
+    """
+
+    def body(k, acc):
+        bit = (exps >> k) & 1
+        factor = jnp.broadcast_to(basepows[k], acc.shape)
+        return jnp.where((bit == 1)[..., None], L.mont_mul(acc, factor), acc)
+
+    return jax.lax.fori_loop(0, nbits, body, acc)
+
+
+def host_base_pows(base_int: int, nbits: int) -> jax.Array:
+    """Montgomery [nbits, 8] array of base^(2^k) (host-precomputed scalars)."""
+    out, b = [], base_int % L.P
+    for _ in range(nbits):
+        out.append(b)
+        b = b * b % L.P
+    return L.ints_to_mont(out)
+
+
 @functools.lru_cache(maxsize=None)
 def _powers_kernel(n: int, nbits: int):
     idx = jnp.arange(n, dtype=jnp.uint32)
 
     def kernel(acc, basepows):
-        def body(k, acc):
-            bit = (idx >> k) & 1
-            factor = jnp.broadcast_to(basepows[k], acc.shape)
-            return jnp.where((bit == 1)[:, None], L.mont_mul(acc, factor), acc)
-
-        return jax.lax.fori_loop(0, nbits, body, acc)
+        return pow_by_exponents(acc, basepows, idx, nbits)
 
     return jax.jit(kernel)
 
@@ -56,14 +77,13 @@ def powers_mont(base_int: int, n: int, scale_int: int = 1) -> jax.Array:
     if n == 0:
         return jnp.zeros((0, L.NLIMB), dtype=jnp.uint32)
     nbits = max(1, (n - 1).bit_length())
-    basepows = []
-    b = base_int % L.P
-    for _ in range(nbits):
-        basepows.append(b)
-        b = b * b % L.P
-    basepows_dev = L.ints_to_mont(basepows)
-    init = jnp.broadcast_to(L.int_to_mont(scale_int), (n, L.NLIMB))
-    return _powers_kernel(n, nbits)(init, basepows_dev)
+    # ensure_compile_time_eval: this may be reached while tracing (e.g. from
+    # inside shard_map bodies); the table must be computed concretely so the
+    # lru_cache never captures a tracer.
+    with jax.ensure_compile_time_eval():
+        basepows_dev = host_base_pows(base_int, nbits)
+        init = jnp.broadcast_to(L.int_to_mont(scale_int), (n, L.NLIMB))
+        return _powers_kernel(n, nbits)(init, basepows_dev)
 
 
 # -----------------------------------------------------------------------------
@@ -71,30 +91,86 @@ def powers_mont(base_int: int, n: int, scale_int: int = 1) -> jax.Array:
 # -----------------------------------------------------------------------------
 
 
+def ntt_body(x, powtable, brev, n: int):
+    """Core transform on x: [n, *batch, 8]; returns same shape.
+
+    Traceable (usable inside jit / shard_map); the stage loop is a fori_loop
+    with one Montgomery multiply body regardless of n.
+    """
+    log2n = n.bit_length() - 1
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    batch_dims = x.ndim - 2
+    expand = (slice(None),) + (None,) * (batch_dims + 1)
+    wexpand = (slice(None),) + (None,) * batch_dims + (slice(None),)
+
+    x = jnp.take(x, brev, axis=0)
+
+    def stage(s, x):
+        half = jnp.uint32(1) << s
+        tablestep = jnp.uint32(n) >> (s + 1)
+        partner = jnp.take(x, (idx ^ half).astype(jnp.int32), axis=0)
+        is_even = ((idx & half) == 0)[expand]
+        widx = ((idx & (half - 1)) * tablestep).astype(jnp.int32)
+        w = jnp.take(powtable, widx, axis=0)[wexpand]
+        e = jnp.where(is_even, x, partner)
+        o = L.mont_mul(jnp.where(is_even, partner, x), w)
+        return jnp.where(is_even, L.add_mod(e, o), L.sub_mod(e, o))
+
+    return jax.lax.fori_loop(0, log2n, stage, x)
+
+
 @functools.lru_cache(maxsize=None)
 def _ntt_kernel(n: int):
     """Jitted full NTT for size n: x must already be padded to n (pow2)."""
     assert is_pow2(n) and n >= 2
-    log2n = n.bit_length() - 1
-    idx = jnp.arange(n, dtype=jnp.uint32)
+    return jax.jit(lambda x, powtable, brev: ntt_body(x, powtable, brev, n))
 
-    def kernel(x, powtable, brev):
-        x = jnp.take(x, brev, axis=0)
 
-        def stage(s, x):
-            half = jnp.uint32(1) << s
-            tablestep = jnp.uint32(n) >> (s + 1)
-            partner = jnp.take(x, (idx ^ half).astype(jnp.int32), axis=0)
-            is_even = ((idx & half) == 0)[:, None]
-            widx = ((idx & (half - 1)) * tablestep).astype(jnp.int32)
-            w = jnp.take(powtable, widx, axis=0)
-            e = jnp.where(is_even, x, partner)
-            o = L.mont_mul(jnp.where(is_even, partner, x), w)
-            return jnp.where(is_even, L.add_mod(e, o), L.sub_mod(e, o))
+#: Above this size the flat transform switches to the four-step (Bailey)
+#: decomposition: per-element partner/twiddle gathers on a [n] vector are the
+#: dominant cost on TPU (strided single-element rows), while on a [R, C]
+#: matrix the same butterflies gather whole contiguous rows and the twiddle
+#: lookup collapses to the axis-0 length.  Measured on v5e: flat 2^20 NTT
+#: 843 ms vs ~40 ms four-step.
+_FOUR_STEP_MIN = 1 << 15
 
-        return jax.lax.fori_loop(0, log2n, stage, x)
 
-    return jax.jit(kernel)
+@functools.lru_cache(maxsize=None)
+def _twiddle_matrix(root_int: int, r: int, c: int) -> jax.Array:
+    """[r, c, 8] Montgomery twiddles root^(k1*i2) (cached)."""
+    with jax.ensure_compile_time_eval():
+        k1 = jnp.arange(r, dtype=jnp.uint32)[:, None]
+        i2 = jnp.arange(c, dtype=jnp.uint32)[None, :]
+        exps = k1 * i2
+        nbits = max(1, (r * c - 1).bit_length())
+        basepows = host_base_pows(root_int, nbits)
+        ones = jnp.broadcast_to(jnp.asarray(L.ONE_MONT), (r, c, L.NLIMB))
+        return jax.jit(
+            lambda o, b: pow_by_exponents(o, b, exps, nbits)
+        )(ones, basepows)
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_kernel(n: int):
+    """Jitted four-step NTT: x [n, 8] natural order -> [n, 8] natural order.
+
+    n = R*C; row NTT (length R, root w^C) + twiddle + transpose + row NTT
+    (length C, root w^R).  Output flat index k = k1 + R*k2 equals the
+    row-major position, so the result is in natural order.
+    """
+    logn = n.bit_length() - 1
+    r = 1 << ((logn + 1) // 2)
+    c = n // r
+
+    def kernel(x, pow_r, brev_r, pow_c, brev_c, tw):
+        x2 = x.reshape(r, c, L.NLIMB)
+        y = ntt_body(x2, pow_r, brev_r, r)           # i1 -> k1 per column
+        y = L.mont_mul(y, tw)                        # w^(k1*i2)
+        y = jnp.swapaxes(y, 0, 1)                    # [c, r, 8], axis0 = i2
+        z = ntt_body(y, pow_c, brev_c, c)            # i2 -> k2 per row
+        return z.reshape(n, L.NLIMB)
+
+    return jax.jit(kernel), r, c
 
 
 def _pad_pow2(x: jax.Array) -> jax.Array:
@@ -121,6 +197,18 @@ def ntt_mont(x: jax.Array, root_int: int) -> jax.Array:
     n = x.shape[0]
     if n < 2:
         return x
+    if n >= _FOUR_STEP_MIN:
+        kernel, r, c = _four_step_kernel(n)
+        root_c = pow(root_int, c, L.P)
+        root_r = pow(root_int, r, L.P)
+        return kernel(
+            x,
+            powers_mont(root_c, r // 2),
+            _brev(r),
+            powers_mont(root_r, c // 2),
+            _brev(c),
+            _twiddle_matrix(root_int, r, c),
+        )
     powtable = powers_mont(root_int, n // 2)
     return _ntt_kernel(n)(x, powtable, _brev(n))
 

@@ -1,0 +1,40 @@
+"""Device mesh helpers for multi-chip sharding.
+
+The evaluation domain is the framework's "sequence" dimension: codewords and
+coefficient vectors of length 2^20+ are sharded across chips on a 1-D mesh
+(axis name "shard"), with the four-step NTT exchanging butterfly stages via
+all_to_all over ICI (see parallel.ntt_dist).  The reference is single-address-
+space Rust with no distribution (SURVEY §2/§5); this layer is new capability.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        assert len(devices) >= n_devices, (
+            f"need {n_devices} devices, have {len(devices)}"
+        )
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def col_sharding(mesh: Mesh) -> NamedSharding:
+    """[rows, cols, limbs] with cols sharded across the mesh."""
+    return NamedSharding(mesh, P(None, AXIS, None))
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    """[rows, cols, limbs] with rows sharded across the mesh."""
+    return NamedSharding(mesh, P(AXIS, None, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
