@@ -136,12 +136,17 @@ class FRI:
         return _fold_kernel(n)(cw_dev, factors, two_inv)
 
     def commit(self, codeword_dev: jax.Array, proof_stream: ProofStream):
-        """(ref: fri.rs:115-172).  Returns list of (ints, MerkleTree)."""
+        """(ref: fri.rs:115-172).  Returns list of (canonical limbs, tree).
+
+        Codewords stay as canonical uint32 limb arrays on the host side;
+        Merkle layers are built by the native runtime (threaded C++ hashing)
+        with a pure-Python fallback.
+        """
         p = self.field.order
         omega, offset = self.omega, self.offset
         num_rounds = self.num_rounds()
 
-        committed: list[tuple[list[int], merkle.MerkleTree]] = []
+        committed = []
         cw_dev = codeword_dev
 
         last = None
@@ -150,38 +155,39 @@ class FRI:
             assert pow(omega, n - 1, p) == pow(omega, -1, p), (
                 "error in commit: omega does not have the right order"
             )
-            ints = [int(v) for v in L.mont_to_ints(cw_dev)]
-            tree = merkle.MerkleTree.from_ints(ints)
+            limbs = L.mont_to_canonical_np(cw_dev)
+            tree = merkle.tree_from_canonical_limbs(limbs)
             proof_stream.push(Root(tree.root))
 
             if r == num_rounds - 1:
-                last = (ints, tree)
+                last = (limbs, tree)
                 break
 
             alpha = self.field.sample(
                 proof_stream.fiat_shamir_prover(PROOF_BYTES)
             ).value
-            committed.append((ints, tree))
+            committed.append((limbs, tree))
 
             cw_dev = self._fold(cw_dev, alpha, offset, omega)
             omega = omega * omega % p
             offset = offset * offset % p
 
-        proof_stream.push(Codeword(tuple(last[0])))
+        last_ints = tuple(int(v) for v in L.limbs_to_ints(last[0]))
+        proof_stream.push(Codeword(last_ints))
         committed.append(last)
         return committed
 
     def query(
         self,
-        current: tuple[list[int], merkle.MerkleTree],
-        nxt: tuple[list[int], merkle.MerkleTree],
+        current,
+        nxt,
         indices_c: list[int],
         proof_stream: ProofStream,
     ) -> list[int]:
         """(ref: fri.rs:174-208)"""
-        cur_ints, cur_tree = current
-        nxt_ints, nxt_tree = nxt
-        half = len(cur_ints) // 2
+        cur_limbs, cur_tree = current
+        nxt_limbs, nxt_tree = nxt
+        half = len(cur_limbs) // 2
         indices_a = list(indices_c)
         indices_b = [i + half for i in indices_c]
 
@@ -189,9 +195,9 @@ class FRI:
             proof_stream.push(
                 Leafs(
                     (
-                        cur_ints[indices_a[s]],
-                        cur_ints[indices_b[s]],
-                        nxt_ints[indices_c[s]],
+                        L.row_to_int(cur_limbs[indices_a[s]]),
+                        L.row_to_int(cur_limbs[indices_b[s]]),
+                        L.row_to_int(nxt_limbs[indices_c[s]]),
                     )
                 )
             )

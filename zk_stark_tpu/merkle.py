@@ -14,7 +14,9 @@ bulk leaf-hash loop is the batch boundary that later moves on-device.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Union
+
+import numpy as np
 
 from .utils.hashing import blake2b512
 
@@ -22,6 +24,65 @@ from .utils.hashing import blake2b512
 def leaf_bytes_from_int(value: int) -> bytes:
     """Protocol leaf encoding of a field element: decimal string bytes."""
     return str(value).encode()
+
+
+class NativeMerkleTree:
+    """Merkle tree over field elements backed by the C++ runtime module.
+
+    Layers live in one contiguous byte blob (64-byte nodes, bottom-up) built
+    by zkstark_native.merkle_layers: decimal-encode + BLAKE2b-512 every leaf
+    and hash all levels, threaded across cores.  Byte-identical to
+    :class:`MerkleTree` built from the same values.
+    """
+
+    __slots__ = ("blob", "n", "_offsets")
+
+    def __init__(self, blob: bytes, n: int):
+        self.blob = blob
+        self.n = n
+        offsets = []
+        off, level = 0, n
+        while level >= 1:
+            offsets.append(off)
+            off += level * 64
+            if level == 1:
+                break
+            level //= 2
+        self._offsets = offsets
+
+    @property
+    def root(self) -> bytes:
+        return self.blob[-64:]
+
+    def open(self, index: int) -> list[bytes]:
+        assert 0 <= index < self.n
+        path = []
+        for level, off in enumerate(self._offsets[:-1]):
+            sib = index ^ 1
+            path.append(self.blob[off + sib * 64 : off + sib * 64 + 64])
+            index >>= 1
+        return path
+
+
+def tree_from_canonical_limbs(
+    limbs: np.ndarray,
+) -> Union["MerkleTree", NativeMerkleTree]:
+    """Build a tree from canonical (non-Montgomery) uint32 [n, 8] limbs.
+
+    Uses the native module when available; falls back to the Python tree.
+    """
+    from .native import get as get_native
+
+    nat = get_native()
+    n = int(limbs.shape[0])
+    if nat is not None and n >= 2:
+        blob = nat.merkle_layers(
+            np.ascontiguousarray(limbs, dtype=np.uint32).tobytes()
+        )
+        return NativeMerkleTree(blob, n)
+    from .ops.limbs import limbs_to_ints
+
+    return MerkleTree.from_ints([int(v) for v in limbs_to_ints(limbs)])
 
 
 class MerkleTree:

@@ -242,6 +242,23 @@ def mont_to_ints(arr) -> np.ndarray:
     return limbs_to_ints(canonical)
 
 
+def mont_to_canonical_np(arr) -> np.ndarray:
+    """Device Montgomery array -> host numpy uint32 [..., 8] canonical limbs.
+
+    Avoids per-element Python int materialization; pair with
+    :func:`row_to_int` for the few individually-needed values.
+    """
+    return np.asarray(jax.device_get(_from_mont_jit(jnp.asarray(arr))))
+
+
+def row_to_int(row) -> int:
+    """One canonical limb row uint32[8] -> Python int."""
+    acc = 0
+    for k in reversed(range(NLIMB)):
+        acc = (acc << LIMB_BITS) | int(row[k])
+    return acc
+
+
 _from_mont_jit = jax.jit(from_mont)
 
 

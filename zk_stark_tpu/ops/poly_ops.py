@@ -425,6 +425,34 @@ def interpolate_first_k(
     return DPoly(intt_mont(ivals, root_int)).truncated(k)
 
 
+@functools.lru_cache(maxsize=None)
+def _evaluate_many_kernel(n: int):
+    """Horner evaluation of an n-coefficient polynomial at many points."""
+
+    def kernel(coeffs, points):
+        # coeffs [n, 8]; points [k, 8]
+        zero = jnp.zeros_like(points)
+
+        def body(acc, c):
+            return L.add_mod(L.mont_mul(acc, points), jnp.broadcast_to(c, acc.shape)), None
+
+        acc, _ = jax.lax.scan(body, zero, coeffs[::-1])
+        return acc
+
+    return jax.jit(kernel)
+
+
+def evaluate_many(coeffs: jax.Array, points: jax.Array) -> jax.Array:
+    """Evaluate a dense polynomial [n, 8] at points [k, 8] -> [k, 8].
+
+    Scan-based Horner: one multiply body, n sequential steps over a k-wide
+    batch — the device-batched replacement for the verifier's per-index
+    host evaluations (ref: stark.rs:676-770)."""
+    if coeffs.shape[0] == 0:
+        return jnp.zeros_like(points)
+    return _evaluate_many_kernel(coeffs.shape[0])(coeffs, points)
+
+
 # -----------------------------------------------------------------------------
 # Multivariate constraint evaluation over codewords
 # -----------------------------------------------------------------------------

@@ -96,8 +96,12 @@ def _item_from_bytes(code: int, payload: bytes) -> ProofItem:
         while pos + _U64 <= len(payload):
             size = int.from_bytes(payload[pos : pos + _U64], "big")
             pos += _U64
+            if pos + size > len(payload):
+                raise ValueError("path entry overruns payload")
             entries.append(payload[pos : pos + size])
             pos += size
+        if pos != len(payload):
+            raise ValueError("trailing bytes in path payload")
         return Path(tuple(entries))
     if code == 3:
         assert len(payload) == 3 * _U128, "leafs must hold 3 elements"

@@ -24,6 +24,8 @@ from __future__ import annotations
 import os
 from typing import Callable, Optional, Sequence
 
+import jax.numpy as jnp
+
 from . import merkle
 from .field import Field
 from .fri import FRI
@@ -87,6 +89,9 @@ class Stark:
         self.original_trace_length = num_cycles
         self.num_randomizers = 4 * num_collinearity_checks
         self._rng = rng
+        #: optional utils.profiling.StageTimer; when set, prove() accumulates
+        #: per-stage wall times into it (aux tracing subsystem)
+        self.timer = None
 
         randomized_trace_length = num_cycles + self.num_randomizers
         # quirk kept: 1 << bit_count(v) is strictly greater than v even for
@@ -194,6 +199,13 @@ class Stark:
             for i in range(number)
         ]
 
+    def _stage(self, name: str):
+        import contextlib
+
+        if self.timer is None:
+            return contextlib.nullcontext()
+        return self.timer.stage(name)
+
     # -- prover (ref: stark.rs:276-563) --------------------------------------
 
     def prove(
@@ -218,99 +230,110 @@ class Stark:
         randomized_trace_length = len(trace)
 
         # interpolate trace columns over omicron^0..^(T-1) (stark.rs:303-326)
-        trace_polynomials = [
-            interpolate_first_k(
-                self.omicron,
-                self.omicron_domain_length,
-                randomized_trace_length,
-                L.ints_to_mont([row[s] for row in trace]),
-            )
-            for s in range(self.num_registers)
-        ]
-
-        # boundary quotients (stark.rs:328-360)
-        boundary_interpolants = self.boundary_interpolants(boundary)
-        boundary_zerofiers = self.boundary_zerofiers(boundary)
-        boundary_quotients = []
-        for s in range(self.num_registers):
-            boundary_polynomial = trace_polynomials[s] - DPoly.from_ints(
-                boundary_interpolants[s].coeffs
-            )
-            boundary_quotients.append(
-                fast_coset_divide(
-                    boundary_polynomial,
-                    DPoly.from_ints(boundary_zerofiers[s].coeffs),
-                    self.generator,
+        with self._stage("trace_interpolation"):
+            trace_polynomials = [
+                interpolate_first_k(
                     self.omicron,
                     self.omicron_domain_length,
+                    randomized_trace_length,
+                    L.ints_to_mont([row[s] for row in trace]),
                 )
-            )
+                for s in range(self.num_registers)
+            ]
+
+        # boundary quotients (stark.rs:328-360)
+        with self._stage("boundary_quotients"):
+            boundary_interpolants = self.boundary_interpolants(boundary)
+            boundary_zerofiers = self.boundary_zerofiers(boundary)
+            boundary_quotients = []
+            for s in range(self.num_registers):
+                boundary_polynomial = trace_polynomials[s] - DPoly.from_ints(
+                    boundary_interpolants[s].coeffs
+                )
+                boundary_quotients.append(
+                    fast_coset_divide(
+                        boundary_polynomial,
+                        DPoly.from_ints(boundary_zerofiers[s].coeffs),
+                        self.generator,
+                        self.omicron,
+                        self.omicron_domain_length,
+                    )
+                )
 
         # commit to boundary quotient codewords (stark.rs:362-386)
         fri_dl = self.fri.domain_length
         boundary_quotient_codewords = []
         boundary_quotient_trees = []
-        for s in range(self.num_registers):
-            cw = fast_coset_evaluate(
-                boundary_quotients[s], self.generator, self.omega, fri_dl
-            )
-            ints = [int(v) for v in L.mont_to_ints(cw)]
-            tree = merkle.MerkleTree.from_ints(ints)
-            boundary_quotient_codewords.append(ints)
-            boundary_quotient_trees.append(tree)
-            ps.push(Root(tree.root))
+        with self._stage("bq_commit"):
+            for s in range(self.num_registers):
+                cw = fast_coset_evaluate(
+                    boundary_quotients[s], self.generator, self.omega, fri_dl
+                )
+                limbs = L.mont_to_canonical_np(cw)
+                tree = merkle.tree_from_canonical_limbs(limbs)
+                boundary_quotient_codewords.append(limbs)
+                boundary_quotient_trees.append(tree)
+                ps.push(Root(tree.root))
 
         # transition quotients (stark.rs:388-420), via pointwise AIR
         # evaluation on the FRI coset + one iNTT back to coefficients.
-        x_codeword = powers_mont(self.omega, fri_dl, scale_int=self.generator)
-        current_codewords = [
-            fast_coset_evaluate(tp, self.generator, self.omega, fri_dl)
-            for tp in trace_polynomials
-        ]
-        next_codewords = [
-            fast_coset_evaluate(
-                tp.scale(self.omicron), self.generator, self.omega, fri_dl
+        with self._stage("transition_quotients"):
+            x_codeword = powers_mont(
+                self.omega, fri_dl, scale_int=self.generator
             )
-            for tp in trace_polynomials
-        ]
-        point = [x_codeword] + current_codewords + next_codewords
-
-        transition_zerofier = self.transition_zerofier()
-        generator_inv = pow(self.generator, -1, p)
-        transition_quotients = []
-        for tc in transition_constraints:
-            tc_codeword = mpoly_evaluate_codewords(
-                {k: v for k, v in tc.dictionary.items()}, point
-            )
-            transition_polynomial = DPoly(
-                intt_mont(tc_codeword, self.omega)
-            ).scale(generator_inv)
-            transition_quotients.append(
-                fast_coset_divide(
-                    transition_polynomial,
-                    transition_zerofier,
-                    self.generator,
-                    self.omicron,
-                    self.omicron_domain_length,
+            current_codewords = [
+                fast_coset_evaluate(tp, self.generator, self.omega, fri_dl)
+                for tp in trace_polynomials
+            ]
+            next_codewords = [
+                fast_coset_evaluate(
+                    tp.scale(self.omicron), self.generator, self.omega, fri_dl
                 )
-            )
+                for tp in trace_polynomials
+            ]
+            point = [x_codeword] + current_codewords + next_codewords
+
+            transition_zerofier = self.transition_zerofier()
+            generator_inv = pow(self.generator, -1, p)
+            transition_quotients = []
+            for tc in transition_constraints:
+                tc_codeword = mpoly_evaluate_codewords(
+                    {k: v for k, v in tc.dictionary.items()}, point
+                )
+                transition_polynomial = DPoly(
+                    intt_mont(tc_codeword, self.omega)
+                ).scale(generator_inv)
+                transition_quotients.append(
+                    fast_coset_divide(
+                        transition_polynomial,
+                        transition_zerofier,
+                        self.generator,
+                        self.omicron,
+                        self.omicron_domain_length,
+                    )
+                )
 
         # randomizer polynomial (stark.rs:422-445)
-        transition_constraints_degree = self.max_degree(transition_constraints)
-        randomizer_polynomial = DPoly.from_ints(
-            [
-                self.field.sample(self._rng(17)).value
-                for _ in range(transition_constraints_degree + 1)
-            ]
-        )
-        randomizer_codeword_dev = fast_coset_evaluate(
-            randomizer_polynomial, self.generator, self.omega, fri_dl
-        )
-        randomizer_codeword = [
-            int(v) for v in L.mont_to_ints(randomizer_codeword_dev)
-        ]
-        randomizer_tree = merkle.MerkleTree.from_ints(randomizer_codeword)
-        ps.push(Root(randomizer_tree.root))
+        with self._stage("randomizer"):
+            transition_constraints_degree = self.max_degree(
+                transition_constraints
+            )
+            randomizer_polynomial = DPoly.from_ints(
+                [
+                    self.field.sample(self._rng(17)).value
+                    for _ in range(transition_constraints_degree + 1)
+                ]
+            )
+            randomizer_codeword_dev = fast_coset_evaluate(
+                randomizer_polynomial, self.generator, self.omega, fri_dl
+            )
+            randomizer_codeword = L.mont_to_canonical_np(
+                randomizer_codeword_dev
+            )
+            randomizer_tree = merkle.tree_from_canonical_limbs(
+                randomizer_codeword
+            )
+            ps.push(Root(randomizer_tree.root))
 
         # weights + degree sanity check (stark.rs:447-464)
         weights = self.sample_weights(
@@ -344,16 +367,18 @@ class Stark:
             shift = transition_constraints_degree - bq_bounds[i]
             terms.append(bq.shift(shift))
 
-        combination = DPoly.zero()
-        for w, term in zip(weights, terms):
-            combination = combination + term.const_mul(w)
+        with self._stage("combination"):
+            combination = DPoly.zero()
+            for w, term in zip(weights, terms):
+                combination = combination + term.const_mul(w)
 
-        combined_codeword = fast_coset_evaluate(
-            combination, self.generator, self.omega, fri_dl
-        )
+            combined_codeword = fast_coset_evaluate(
+                combination, self.generator, self.omega, fri_dl
+            )
 
         # FRI low-degree proof (stark.rs:522)
-        indices = self.fri.prove(combined_codeword, ps)
+        with self._stage("fri_prove"):
+            indices = self.fri.prove(combined_codeword, ps)
 
         # open boundary quotients and randomizer (stark.rs:524-560)
         duplicated_indices = indices + [
@@ -364,17 +389,19 @@ class Stark:
             + [(i + fri_dl // 2) % fri_dl for i in duplicated_indices]
         )
 
-        for ints, tree in zip(
-            boundary_quotient_codewords, boundary_quotient_trees
-        ):
+        with self._stage("openings"):
+            for limbs, tree in zip(
+                boundary_quotient_codewords, boundary_quotient_trees
+            ):
+                for i in quadrupled_indices:
+                    ps.push(Value(L.row_to_int(limbs[i])))
+                    ps.push(Path(tuple(tree.open(i))))
             for i in quadrupled_indices:
-                ps.push(Value(ints[i]))
-                ps.push(Path(tuple(tree.open(i))))
-        for i in quadrupled_indices:
-            ps.push(Value(randomizer_codeword[i]))
-            ps.push(Path(tuple(randomizer_tree.open(i))))
+                ps.push(Value(L.row_to_int(randomizer_codeword[i])))
+                ps.push(Path(tuple(randomizer_tree.open(i))))
 
-        return ps.serialize()
+        with self._stage("serialize"):
+            return ps.serialize()
 
     # -- verifier (ref: stark.rs:565-770) ------------------------------------
 
@@ -446,7 +473,11 @@ class Stark:
                 raise VerificationError(f"randomizer leaf {i} not verified")
             randomizers[i] = leaf
 
-        # combination check per index (stark.rs:676-770)
+        # combination check, batched over all queried indices on device
+        # (semantics of stark.rs:676-770; the reference loops per index on
+        # the host — here every per-index evaluation is a [K]-wide kernel)
+        if not indices:
+            return
         boundary_zerofiers = self.boundary_zerofiers(boundary)
         transition_constraints_degree = self.max_degree(transition_constraints)
         tq_bounds = self.transition_quotient_degree_bounds(
@@ -455,67 +486,71 @@ class Stark:
         bq_bounds = self.boundary_quotient_degree_bounds(
             randomized_trace_length, boundary
         )
-        transition_zerofier = Polynomial(
-            self.field, self.transition_zerofier().to_ints()
-        )
 
-        for index_i, index_current in enumerate(indices):
-            domain_current = (
-                self.fri.offset * pow(self.fri.omega, index_current, p) % p
+        from .ops.poly_ops import evaluate_many, mpoly_evaluate_codewords
+
+        idx_next = [
+            (i + self.expansion_factor) % self.fri.domain_length
+            for i in indices
+        ]
+        pts_cur = [
+            self.fri.offset * pow(self.fri.omega, i, p) % p for i in indices
+        ]
+        pts_next = [
+            self.fri.offset * pow(self.fri.omega, i, p) % p for i in idx_next
+        ]
+        x_cur = L.ints_to_mont(pts_cur)
+        x_next = L.ints_to_mont(pts_next)
+
+        trace_current, trace_next = [], []
+        for s in range(self.num_registers):
+            zc = DPoly.from_ints(boundary_zerofiers[s].coeffs).c
+            ic = DPoly.from_ints(boundary_interpolants[s].coeffs).c
+            leaf_cur = L.ints_to_mont([leafs[s][i] for i in indices])
+            leaf_next = L.ints_to_mont([leafs[s][i] for i in idx_next])
+            trace_current.append(
+                L.add_mod_jit(
+                    L.mont_mul_jit(leaf_cur, evaluate_many(zc, x_cur)),
+                    evaluate_many(ic, x_cur),
+                )
             )
-            index_next = (
-                index_current + self.expansion_factor
-            ) % self.fri.domain_length
-            domain_next = (
-                self.fri.offset * pow(self.fri.omega, index_next, p) % p
+            trace_next.append(
+                L.add_mod_jit(
+                    L.mont_mul_jit(leaf_next, evaluate_many(zc, x_next)),
+                    evaluate_many(ic, x_next),
+                )
             )
 
-            trace_current, trace_next = [], []
-            for s in range(self.num_registers):
-                zerofier = boundary_zerofiers[s]
-                interpolant = boundary_interpolants[s]
-                trace_current.append(
-                    (
-                        leafs[s][index_current]
-                        * zerofier.evaluate(domain_current)
-                        + interpolant.evaluate(domain_current)
-                    )
-                    % p
-                )
-                trace_next.append(
-                    (
-                        leafs[s][index_next] * zerofier.evaluate(domain_next)
-                        + interpolant.evaluate(domain_next)
-                    )
-                    % p
-                )
+        point = [x_cur] + trace_current + trace_next
+        tz_vals = evaluate_many(self.transition_zerofier().c, x_cur)
+        tz_inv = L.batch_inv_jit(tz_vals)
 
-            point = [domain_current] + trace_current + trace_next
-            transition_constraint_values = [
-                tc.evaluate(point) for tc in transition_constraints
-            ]
+        terms = [L.ints_to_mont([randomizers[i] for i in indices])]
+        for s, tc in enumerate(transition_constraints):
+            tcv = mpoly_evaluate_codewords(tc.dictionary, point)
+            quotient = L.mont_mul_jit(tcv, tz_inv)
+            terms.append(quotient)
+            shift = transition_constraints_degree - tq_bounds[s]
+            terms.append(
+                L.mont_mul_jit(quotient, L.mont_pow_jit(x_cur, shift))
+            )
+        for s in range(self.num_registers):
+            bqv = L.ints_to_mont([leafs[s][i] for i in indices])
+            terms.append(bqv)
+            shift = transition_constraints_degree - bq_bounds[s]
+            terms.append(L.mont_mul_jit(bqv, L.mont_pow_jit(x_cur, shift)))
 
-            terms = [randomizers[index_current]]
-            tz_value = transition_zerofier.evaluate(domain_current)
-            tz_inv = pow(tz_value, -1, p)
-            for s, tcv in enumerate(transition_constraint_values):
-                quotient = tcv * tz_inv % p
-                terms.append(quotient)
-                shift = transition_constraints_degree - tq_bounds[s]
-                terms.append(
-                    quotient * pow(domain_current, shift, p) % p
-                )
-            for s in range(self.num_registers):
-                bqv = leafs[s][index_current]
-                terms.append(bqv)
-                shift = transition_constraints_degree - bq_bounds[s]
-                terms.append(bqv * pow(domain_current, shift, p) % p)
+        combination = jnp.zeros_like(x_cur)
+        for w, term in zip(weights, terms):
+            combination = L.add_mod_jit(
+                combination,
+                L.mont_mul_jit(
+                    term, jnp.broadcast_to(L.int_to_mont(w), term.shape)
+                ),
+            )
 
-            combination = 0
-            for w, term in zip(weights, terms):
-                combination = (combination + w * term) % p
-
-            if combination != values[index_i]:
-                raise VerificationError(
-                    "combination does not match with polynomial value"
-                )
+        got = [int(v) for v in L.mont_to_ints(combination)]
+        if got != values:
+            raise VerificationError(
+                "combination does not match with polynomial value"
+            )
