@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import merkle
 from .field import Field
@@ -43,6 +44,30 @@ def _fold_kernel(n: int):
         d = L.sub_mod(lo, hi)
         folded = L.add_mod(s, L.mont_mul(factors, d))
         return L.mont_mul(jnp.broadcast_to(two_inv, folded.shape), folded)
+
+    return jax.jit(kernel)
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_round_kernel(n: int):
+    """Fused FRI round: fold + canonical (non-Montgomery) conversion.
+
+    One device dispatch per round — the transcript forces a host sync every
+    round anyway (the next alpha depends on this round's Merkle root), so
+    the goal is exactly one round-trip per round.
+    """
+    half = n // 2
+    one = L.int_to_limbs(1)
+
+    def kernel(cw, invpows, ao_scalar, two_inv):
+        factors = L.mont_mul(jnp.broadcast_to(ao_scalar, invpows.shape), invpows)
+        lo, hi = cw[:half], cw[half:]
+        s = L.add_mod(lo, hi)
+        d = L.sub_mod(lo, hi)
+        folded = L.add_mod(s, L.mont_mul(factors, d))
+        folded = L.mont_mul(jnp.broadcast_to(two_inv, folded.shape), folded)
+        canon = L.mont_mul(folded, jnp.broadcast_to(jnp.asarray(one), folded.shape))
+        return folded, canon
 
     return jax.jit(kernel)
 
@@ -135,12 +160,20 @@ class FRI:
         two_inv = L.int_to_mont(pow(2, -1, p))
         return _fold_kernel(n)(cw_dev, factors, two_inv)
 
-    def commit(self, codeword_dev: jax.Array, proof_stream: ProofStream):
+    def commit(
+        self,
+        codeword_dev: jax.Array,
+        proof_stream: ProofStream,
+        codeword_canon=None,
+    ):
         """(ref: fri.rs:115-172).  Returns list of (canonical limbs, tree).
 
         Codewords stay as canonical uint32 limb arrays on the host side;
         Merkle layers are built by the native runtime (threaded C++ hashing)
-        with a pure-Python fallback.
+        with a pure-Python fallback.  Each round is a single fused device
+        dispatch (fold + canonical conversion); ``codeword_canon`` lets the
+        caller supply the initial round's canonical form to avoid an extra
+        round trip.
         """
         p = self.field.order
         omega, offset = self.omega, self.offset
@@ -148,6 +181,7 @@ class FRI:
 
         committed = []
         cw_dev = codeword_dev
+        two_inv = L.int_to_mont(pow(2, -1, p))
 
         last = None
         for r in range(num_rounds):
@@ -155,7 +189,9 @@ class FRI:
             assert pow(omega, n - 1, p) == pow(omega, -1, p), (
                 "error in commit: omega does not have the right order"
             )
-            limbs = L.mont_to_canonical_np(cw_dev)
+            if codeword_canon is None:
+                codeword_canon = L.mont_to_canonical_np(cw_dev)
+            limbs = np.asarray(codeword_canon)
             tree = merkle.tree_from_canonical_limbs(limbs)
             proof_stream.push(Root(tree.root))
 
@@ -168,7 +204,11 @@ class FRI:
             ).value
             committed.append((limbs, tree))
 
-            cw_dev = self._fold(cw_dev, alpha, offset, omega)
+            ao = L.int_to_mont(alpha * pow(offset, -1, p) % p)
+            invpows = powers_mont(pow(omega, -1, p), n // 2)
+            cw_dev, codeword_canon = _fold_round_kernel(n)(
+                cw_dev, invpows, ao, two_inv
+            )
             omega = omega * omega % p
             offset = offset * offset % p
 
@@ -209,13 +249,16 @@ class FRI:
         return indices_a + indices_b
 
     def prove(
-        self, codeword_dev: jax.Array, proof_stream: ProofStream
+        self,
+        codeword_dev: jax.Array,
+        proof_stream: ProofStream,
+        codeword_canon=None,
     ) -> list[int]:
         """(ref: fri.rs:210-248)"""
         assert self.domain_length == codeword_dev.shape[0], (
             "domain length does not match initial codeword length"
         )
-        committed = self.commit(codeword_dev, proof_stream)
+        committed = self.commit(codeword_dev, proof_stream, codeword_canon)
 
         top_level_indices = self.sample_indices(
             proof_stream.fiat_shamir_prover(PROOF_BYTES),

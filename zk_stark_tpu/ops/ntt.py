@@ -184,7 +184,10 @@ def _pad_pow2(x: jax.Array) -> jax.Array:
 
 @functools.lru_cache(maxsize=None)
 def _brev(n: int) -> jax.Array:
-    return jnp.asarray(bit_reverse_indices(n))
+    # ensure_compile_time_eval: may be first reached under tracing; the cache
+    # must hold a concrete array, never a lifted tracer constant
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(bit_reverse_indices(n))
 
 
 def ntt_mont(x: jax.Array, root_int: int) -> jax.Array:

@@ -111,6 +111,14 @@ def cumprod_mont(x: jax.Array) -> jax.Array:
     return _cumprod_kernel(n, cols)(x)
 
 
+def degree_device(c):
+    """Traceable degree scan: [n, 8] -> int32 scalar, -1 for the zero poly."""
+    n = c.shape[0]
+    mask = jnp.any(c != 0, axis=-1)
+    deg = jnp.int32(n - 1) - jnp.argmax(mask[::-1]).astype(jnp.int32)
+    return jnp.where(jnp.any(mask), deg, jnp.int32(-1))
+
+
 @functools.lru_cache(maxsize=None)
 def _degree_kernel(n: int):
     def kernel(x):
@@ -289,18 +297,24 @@ def fast_coset_divide(
     offset_int: int,
     root_int: int,
     root_order: int,
+    lhs_degree: Optional[int] = None,
+    rhs_degree: Optional[int] = None,
 ) -> DPoly:
     """Exact division via coset NTT (ref: ntt_arithmetics.rs:239-310).
 
     Matches the reference even on inexact inputs (truncation to
     ``deg(lhs) - deg(rhs) + 1`` coefficients), which the prover's degree
-    sanity check relies on.
+    sanity check relies on.  ``lhs_degree``/``rhs_degree`` may be passed when
+    statically known (e.g. generic randomized-trace degrees) so the call is
+    traceable inside jit without a device sync.
     """
-    assert not rhs.is_zero(), "cannot divide by zero polynomial"
-    if lhs.is_zero():
-        return DPoly.zero()
-    lhs_degree = lhs.degree()
-    rhs_degree = rhs.degree()
+    if lhs_degree is None:
+        assert not rhs.is_zero(), "cannot divide by zero polynomial"
+        if lhs.is_zero():
+            return DPoly.zero()
+        lhs_degree = lhs.degree()
+    if rhs_degree is None:
+        rhs_degree = rhs.degree()
     assert lhs_degree >= rhs_degree, "cannot divide by higher-degree polynomial"
 
     degree = max(lhs_degree, rhs_degree)
@@ -328,6 +342,11 @@ def _one_minus_invpow_cumprod(root_int: int, n: int):
 
     Returns (G, G_inv) device arrays [n, 8].
     """
+    with jax.ensure_compile_time_eval():
+        return _one_minus_invpow_cumprod_impl(root_int, n)
+
+
+def _one_minus_invpow_cumprod_impl(root_int: int, n: int):
     root_inv = pow(root_int, -1, P)
     invpows = powers_mont(root_inv, n)  # w^{-t} for t in [0, n)
     one = jnp.broadcast_to(jnp.asarray(L.ONE_MONT), invpows.shape)
@@ -341,6 +360,11 @@ def _one_minus_invpow_cumprod(root_int: int, n: int):
 @functools.lru_cache(maxsize=None)
 def _h_table_ntt(root_int: int, n: int):
     """NTT of h where h[d] = 1/(w^d - 1) for d != 0, h[0] = 0 (cached)."""
+    with jax.ensure_compile_time_eval():
+        return _h_table_ntt_impl(root_int, n)
+
+
+def _h_table_ntt_impl(root_int: int, n: int):
     pows = powers_mont(root_int, n)
     one = jnp.broadcast_to(jnp.asarray(L.ONE_MONT), pows.shape)
     diffs = L.sub_mod_jit(pows, one)  # index 0 -> 0
@@ -351,6 +375,11 @@ def _h_table_ntt(root_int: int, n: int):
 @functools.lru_cache(maxsize=None)
 def _zerofier_first_k_cached(root_int: int, n: int, k: int):
     """Returns (coeffs DPoly of degree k, zvals [n,8] on the full domain)."""
+    with jax.ensure_compile_time_eval():
+        return _zerofier_first_k_impl(root_int, n, k)
+
+
+def _zerofier_first_k_impl(root_int: int, n: int, k: int):
     assert 0 < k <= n
     if k == n:
         # Z = x^n - 1

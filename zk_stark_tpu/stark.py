@@ -25,6 +25,7 @@ import os
 from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import merkle
 from .field import Field
@@ -33,6 +34,7 @@ from .ops import limbs as L
 from .ops.ntt import intt_mont, powers_mont
 from .ops.poly_ops import (
     DPoly,
+    degree_device,
     fast_coset_divide,
     fast_coset_evaluate,
     interpolate_first_k,
@@ -176,9 +178,15 @@ class Stark:
                 pow(self.omicron, c, p) for c, r, _ in boundary if r == s
             ]
             values = [v for _, r, v in boundary if r == s]
-            out.append(
-                Polynomial.interpolate_domain(self.field, domain, values)
-            )
+            if not domain:
+                # register with no boundary conditions: zero interpolant
+                # (the reference's fast_interpolate_domain on an empty
+                # domain returns the empty polynomial)
+                out.append(Polynomial.zero(self.field))
+            else:
+                out.append(
+                    Polynomial.interpolate_domain(self.field, domain, values)
+                )
         return out
 
     def boundary_quotient_degree_bounds(
@@ -207,6 +215,137 @@ class Stark:
         return self.timer.stage(name)
 
     # -- prover (ref: stark.rs:276-563) --------------------------------------
+    #
+    # The protocol is identical to the reference, but the device work is
+    # fused into two jitted segments separated only by the transcript's
+    # mandatory host syncs (Fiat-Shamir):
+    #   segment 1: trace interpolation -> boundary quotients + codewords,
+    #              transition quotients (pointwise AIR on the coset + iNTT),
+    #              randomizer codeword, quotient degrees    [one dispatch]
+    #   ... host: Merkle roots, weights sampling, degree check ...
+    #   segment 2: weighted combination -> combined codeword [one dispatch]
+    #   ... FRI: one fused dispatch per fold round ...
+    # This matters because every dispatch pays host<->device latency; the
+    # unfused pipeline spent most of its wall time on ~100 small dispatches.
+
+    def _constraints_fingerprint(self, tcs) -> tuple:
+        return tuple(
+            tuple(sorted((tuple(k), v) for k, v in tc.dictionary.items()))
+            for tc in tcs
+        )
+
+    def _build_seg1(self, key, tcs, bi_lens, bz_lens):
+        p = self.field.order
+        m = self.num_registers
+        odl = self.omicron_domain_length
+        fri_dl = self.fri.domain_length
+        omicron, omega, g = self.omicron, self.omega, self.generator
+        g_inv = pow(g, -1, p)
+        orig_t = self.original_trace_length
+        tdb = self.transition_degree_bounds(tcs)
+        tc_dicts = [dict(tc.dictionary) for tc in tcs]
+
+        def seg1(trace_cols, bi_arrs, bz_arrs, rand_coeffs):
+            T = trace_cols.shape[1]
+            tps = [
+                interpolate_first_k(omicron, odl, T, trace_cols[s])
+                for s in range(m)
+            ]
+
+            bqs, bq_cws = [], []
+            for s in range(m):
+                bp = tps[s] - DPoly(bi_arrs[s])
+                bq = fast_coset_divide(
+                    bp,
+                    DPoly(bz_arrs[s]),
+                    g,
+                    omicron,
+                    odl,
+                    lhs_degree=T - 1,
+                    rhs_degree=bz_lens[s] - 1,
+                )
+                bqs.append(bq)
+                bq_cws.append(fast_coset_evaluate(bq, g, omega, fri_dl))
+
+            x_cw = powers_mont(omega, fri_dl, scale_int=g)
+            cur = [fast_coset_evaluate(tp, g, omega, fri_dl) for tp in tps]
+            nxt = [
+                fast_coset_evaluate(tp.scale(omicron), g, omega, fri_dl)
+                for tp in tps
+            ]
+            point = [x_cw] + cur + nxt
+
+            tz = zerofier_first_k(omicron, odl, orig_t - 1)
+            tqs, tq_degs = [], []
+            for i, tc_dict in enumerate(tc_dicts):
+                cw = mpoly_evaluate_codewords(tc_dict, point)
+                tpoly = DPoly(intt_mont(cw, omega)).scale(g_inv)
+                tq = fast_coset_divide(
+                    tpoly,
+                    tz,
+                    g,
+                    omicron,
+                    odl,
+                    lhs_degree=tdb[i],
+                    rhs_degree=orig_t - 1,
+                )
+                tqs.append(tq)
+                tq_degs.append(degree_device(tq.c))
+
+            rand_cw = fast_coset_evaluate(
+                DPoly(rand_coeffs), g, omega, fri_dl
+            )
+
+            from .ops.limbs import from_mont
+
+            bq_canon = from_mont(jnp.stack([cw for cw in bq_cws]))
+            rand_canon = from_mont(rand_cw)
+            return (
+                bq_canon,
+                rand_canon,
+                tuple(tq.c for tq in tqs),
+                tuple(bq.c for bq in bqs),
+                jnp.stack(tq_degs),
+            )
+
+        import jax
+
+        return jax.jit(seg1)
+
+    def _build_seg2(self, key, shifts, lengths):
+        p = self.field.order
+        fri_dl = self.fri.domain_length
+        omega, g = self.omega, self.generator
+        max_len = max(ln + sh for ln, sh in zip(lengths, shifts))
+
+        def seg2(weights_arr, term_arrs):
+            comb = jnp.zeros((max_len, L.NLIMB), dtype=jnp.uint32)
+            for idx, arr in enumerate(term_arrs):
+                w = weights_arr[idx]
+                contrib = L.mont_mul(arr, jnp.broadcast_to(w, arr.shape))
+                sh = shifts[idx]
+                ln = arr.shape[0]
+                seg = L.add_mod(comb[sh : sh + ln], contrib)
+                comb = comb.at[sh : sh + ln].set(seg)
+
+            combined = fast_coset_evaluate(DPoly(comb), g, omega, fri_dl)
+            from .ops.limbs import from_mont
+
+            return combined, from_mont(combined)
+
+        import jax
+
+        return jax.jit(seg2)
+
+    def _seg_cache_get(self, name, key, builder, *args):
+        cache = getattr(self, "_seg_cache", None)
+        if cache is None:
+            cache = {}
+            self._seg_cache = cache
+        full_key = (name,) + key
+        if full_key not in cache:
+            cache[full_key] = builder(key, *args)
+        return cache[full_key]
 
     def prove(
         self,
@@ -218,7 +357,7 @@ class Stark:
         p = self.field.order
         ps = proof_stream if proof_stream is not None else ProofStream(self.field)
 
-        # concatenate randomizers — induces zero knowledge (stark.rs:286-301)
+        # concatenate randomizers - induces zero knowledge (stark.rs:286-301)
         trace = [list(row) for row in trace]
         for _ in range(self.num_randomizers):
             trace.append(
@@ -229,119 +368,67 @@ class Stark:
             )
         randomized_trace_length = len(trace)
 
-        # interpolate trace columns over omicron^0..^(T-1) (stark.rs:303-326)
-        with self._stage("trace_interpolation"):
-            trace_polynomials = [
-                interpolate_first_k(
-                    self.omicron,
-                    self.omicron_domain_length,
-                    randomized_trace_length,
-                    L.ints_to_mont([row[s] for row in trace]),
-                )
-                for s in range(self.num_registers)
-            ]
+        # host-side setup: boundary polynomials, randomizer coefficients
+        boundary_interpolants = self.boundary_interpolants(boundary)
+        boundary_zerofiers = self.boundary_zerofiers(boundary)
+        transition_constraints_degree = self.max_degree(transition_constraints)
+        randomizer_ints = [
+            self.field.sample(self._rng(17)).value
+            for _ in range(transition_constraints_degree + 1)
+        ]
 
-        # boundary quotients (stark.rs:328-360)
-        with self._stage("boundary_quotients"):
-            boundary_interpolants = self.boundary_interpolants(boundary)
-            boundary_zerofiers = self.boundary_zerofiers(boundary)
-            boundary_quotients = []
-            for s in range(self.num_registers):
-                boundary_polynomial = trace_polynomials[s] - DPoly.from_ints(
-                    boundary_interpolants[s].coeffs
-                )
-                boundary_quotients.append(
-                    fast_coset_divide(
-                        boundary_polynomial,
-                        DPoly.from_ints(boundary_zerofiers[s].coeffs),
-                        self.generator,
-                        self.omicron,
-                        self.omicron_domain_length,
-                    )
-                )
+        with self._stage("host_inputs"):
+            trace_cols = L.ints_to_mont(
+                [v for s in range(self.num_registers) for v in
+                 (row[s] for row in trace)]
+            ).reshape(self.num_registers, randomized_trace_length, L.NLIMB)
+            bi_arrs = tuple(
+                L.ints_to_mont(bi.coeffs if bi.coeffs else [0])
+                for bi in boundary_interpolants
+            )
+            bz_arrs = tuple(
+                L.ints_to_mont(bz.coeffs) for bz in boundary_zerofiers
+            )
+            rand_arr = L.ints_to_mont(randomizer_ints)
 
-        # commit to boundary quotient codewords (stark.rs:362-386)
-        fri_dl = self.fri.domain_length
-        boundary_quotient_codewords = []
-        boundary_quotient_trees = []
-        with self._stage("bq_commit"):
+        tcs_fp = self._constraints_fingerprint(transition_constraints)
+        bi_lens = tuple(a.shape[0] for a in bi_arrs)
+        bz_lens = tuple(a.shape[0] for a in bz_arrs)
+        seg1 = self._seg_cache_get(
+            "seg1",
+            (randomized_trace_length, bi_lens, bz_lens, tcs_fp),
+            self._build_seg1,
+            transition_constraints,
+            bi_lens,
+            bz_lens,
+        )
+
+        with self._stage("segment1"):
+            bq_canon, rand_canon, tq_stack, bq_stack, tq_degs = seg1(
+                trace_cols, bi_arrs, bz_arrs, rand_arr
+            )
+            bq_canon = np.asarray(bq_canon)
+            rand_canon = np.asarray(rand_canon)
+            tq_degrees = [int(d) for d in np.asarray(tq_degs)]
+
+        # commit to boundary quotients + randomizer (stark.rs:362-386,422-445)
+        with self._stage("commit_roots"):
+            boundary_quotient_trees = []
             for s in range(self.num_registers):
-                cw = fast_coset_evaluate(
-                    boundary_quotients[s], self.generator, self.omega, fri_dl
-                )
-                limbs = L.mont_to_canonical_np(cw)
-                tree = merkle.tree_from_canonical_limbs(limbs)
-                boundary_quotient_codewords.append(limbs)
+                tree = merkle.tree_from_canonical_limbs(bq_canon[s])
                 boundary_quotient_trees.append(tree)
                 ps.push(Root(tree.root))
-
-        # transition quotients (stark.rs:388-420), via pointwise AIR
-        # evaluation on the FRI coset + one iNTT back to coefficients.
-        with self._stage("transition_quotients"):
-            x_codeword = powers_mont(
-                self.omega, fri_dl, scale_int=self.generator
-            )
-            current_codewords = [
-                fast_coset_evaluate(tp, self.generator, self.omega, fri_dl)
-                for tp in trace_polynomials
-            ]
-            next_codewords = [
-                fast_coset_evaluate(
-                    tp.scale(self.omicron), self.generator, self.omega, fri_dl
-                )
-                for tp in trace_polynomials
-            ]
-            point = [x_codeword] + current_codewords + next_codewords
-
-            transition_zerofier = self.transition_zerofier()
-            generator_inv = pow(self.generator, -1, p)
-            transition_quotients = []
-            for tc in transition_constraints:
-                tc_codeword = mpoly_evaluate_codewords(
-                    {k: v for k, v in tc.dictionary.items()}, point
-                )
-                transition_polynomial = DPoly(
-                    intt_mont(tc_codeword, self.omega)
-                ).scale(generator_inv)
-                transition_quotients.append(
-                    fast_coset_divide(
-                        transition_polynomial,
-                        transition_zerofier,
-                        self.generator,
-                        self.omicron,
-                        self.omicron_domain_length,
-                    )
-                )
-
-        # randomizer polynomial (stark.rs:422-445)
-        with self._stage("randomizer"):
-            transition_constraints_degree = self.max_degree(
-                transition_constraints
-            )
-            randomizer_polynomial = DPoly.from_ints(
-                [
-                    self.field.sample(self._rng(17)).value
-                    for _ in range(transition_constraints_degree + 1)
-                ]
-            )
-            randomizer_codeword_dev = fast_coset_evaluate(
-                randomizer_polynomial, self.generator, self.omega, fri_dl
-            )
-            randomizer_codeword = L.mont_to_canonical_np(
-                randomizer_codeword_dev
-            )
-            randomizer_tree = merkle.tree_from_canonical_limbs(
-                randomizer_codeword
-            )
+            randomizer_tree = merkle.tree_from_canonical_limbs(rand_canon)
             ps.push(Root(randomizer_tree.root))
 
         # weights + degree sanity check (stark.rs:447-464)
         weights = self.sample_weights(
-            1 + 2 * len(transition_quotients) + 2 * len(boundary_quotients),
+            1
+            + 2 * len(transition_constraints)
+            + 2 * self.num_registers,
             ps.fiat_shamir_prover(PROOF_BYTES),
         )
-        tq_degrees = [tq.degree() for tq in transition_quotients]
-        if any(d is None for d in tq_degrees):
+        if any(d < 0 for d in tq_degrees):
             raise ProvingError("failed to get degree of transition quotient")
         if tq_degrees != self.transition_quotient_degree_bounds(
             transition_constraints
@@ -350,37 +437,41 @@ class Stark:
                 "transition quotient degrees do not match with expectation"
             )
 
-        # weighted combination terms (stark.rs:466-519)
-        terms: list[DPoly] = [randomizer_polynomial]
+        # weighted combination (stark.rs:466-519)
         tq_bounds = self.transition_quotient_degree_bounds(
             transition_constraints
         )
-        for i, tq in enumerate(transition_quotients):
-            terms.append(tq)
-            shift = transition_constraints_degree - tq_bounds[i]
-            terms.append(tq.shift(shift))
         bq_bounds = self.boundary_quotient_degree_bounds(
             randomized_trace_length, boundary
         )
-        for i, bq in enumerate(boundary_quotients):
-            terms.append(bq)
-            shift = transition_constraints_degree - bq_bounds[i]
-            terms.append(bq.shift(shift))
+        term_arrs = [rand_arr]
+        shifts = [0]
+        for i, tq in enumerate(tq_stack):
+            term_arrs.extend([tq, tq])
+            shifts.extend([0, transition_constraints_degree - tq_bounds[i]])
+        for i, bq in enumerate(bq_stack):
+            term_arrs.extend([bq, bq])
+            shifts.extend([0, transition_constraints_degree - bq_bounds[i]])
+        lengths = tuple(int(a.shape[0]) for a in term_arrs)
 
-        with self._stage("combination"):
-            combination = DPoly.zero()
-            for w, term in zip(weights, terms):
-                combination = combination + term.const_mul(w)
-
-            combined_codeword = fast_coset_evaluate(
-                combination, self.generator, self.omega, fri_dl
-            )
+        seg2 = self._seg_cache_get(
+            "seg2",
+            (tuple(shifts), lengths),
+            self._build_seg2,
+            tuple(shifts),
+            lengths,
+        )
+        with self._stage("segment2"):
+            weights_arr = L.ints_to_mont(weights)
+            combined_dev, combined_canon = seg2(weights_arr, tuple(term_arrs))
+            combined_canon = np.asarray(combined_canon)
 
         # FRI low-degree proof (stark.rs:522)
         with self._stage("fri_prove"):
-            indices = self.fri.prove(combined_codeword, ps)
+            indices = self.fri.prove(combined_dev, ps, combined_canon)
 
         # open boundary quotients and randomizer (stark.rs:524-560)
+        fri_dl = self.fri.domain_length
         duplicated_indices = indices + [
             (i + self.expansion_factor) % fri_dl for i in indices
         ]
@@ -390,18 +481,18 @@ class Stark:
         )
 
         with self._stage("openings"):
-            for limbs, tree in zip(
-                boundary_quotient_codewords, boundary_quotient_trees
-            ):
+            for s in range(self.num_registers):
+                tree = boundary_quotient_trees[s]
                 for i in quadrupled_indices:
-                    ps.push(Value(L.row_to_int(limbs[i])))
+                    ps.push(Value(L.row_to_int(bq_canon[s][i])))
                     ps.push(Path(tuple(tree.open(i))))
             for i in quadrupled_indices:
-                ps.push(Value(L.row_to_int(randomizer_codeword[i])))
+                ps.push(Value(L.row_to_int(rand_canon[i])))
                 ps.push(Path(tuple(randomizer_tree.open(i))))
 
         with self._stage("serialize"):
             return ps.serialize()
+
 
     # -- verifier (ref: stark.rs:565-770) ------------------------------------
 
