@@ -128,6 +128,43 @@ def bench_rpsss() -> dict:
     }
 
 
+def bench_chain() -> dict:
+    """Long-trace proof (iterated Rescue permutation chain).
+
+    Default: chain 512 -> omicron domain 2^16, FRI domain 2^18.
+    BENCH_CHAIN_FULL=1: chain 3200 -> omicron 2^18, FRI 2^20 (config 5
+    scale on a single chip).
+    """
+    from zk_stark_tpu.field import Field
+    from zk_stark_tpu.models.rescue_chain import make_chain_stark
+    from zk_stark_tpu.proof_stream import ProofStream
+
+    field = Field()
+    chain_len = 3200 if os.environ.get("BENCH_CHAIN_FULL") else 512
+    model, stark = make_chain_stark(field, chain_len)
+    air = model.air(stark.omicron, stark.omicron_domain_length)
+    x = 987654321
+    y = model.run(x)
+    trace = model.trace(x)
+    boundary = model.boundary_constraints(y)
+
+    log(f"chain {chain_len} warmup prove (fri={stark.fri.domain_length})...")
+    t0 = time.time()
+    proof = stark.prove(trace, air, boundary, ProofStream(field))
+    cold_ms = (time.time() - t0) * 1000
+    log(f"chain warmup prove: {cold_ms:.0f} ms")
+    t0 = time.time()
+    proof = stark.prove(trace, air, boundary, ProofStream(field))
+    prove_ms = (time.time() - t0) * 1000
+    stark.verify(air, boundary, ProofStream.deserialize(proof, field))
+    key = f"chain{chain_len}_fri_2p{stark.fri.domain_length.bit_length() - 1}"
+    return {
+        f"{key}_prove_ms": round(prove_ms, 1),
+        f"{key}_prove_cold_ms": round(cold_ms, 1),
+        f"{key}_proof_bytes": len(proof),
+    }
+
+
 def main() -> None:
     log(f"devices: {jax.devices()}")
     extras = {}
@@ -135,6 +172,12 @@ def main() -> None:
     log(f"ntt: {extras}")
     extras.update(bench_rescue_batch())
     log(f"rescue: {extras}")
+    if not os.environ.get("BENCH_SKIP_CHAIN"):
+        try:
+            extras.update(bench_chain())
+            log(f"chain: {extras}")
+        except Exception as e:  # chain bench is best-effort
+            log(f"chain bench failed: {e!r}")
     rp = bench_rpsss()
     extras.update(rp)
     log(f"rpsss: {rp}")

@@ -94,3 +94,38 @@ def test_cumprod():
         acc = acc * v % P
         want.append(acc)
     assert got == want
+
+
+def test_fast_zerofier_arbitrary_domain():
+    # (ref test: ntt_arithmetics.rs:377-403) zerofier vanishes on its domain
+    vals = [random.randrange(1, P) for _ in range(13)]
+    z = PO.fast_zerofier(L.ints_to_mont(vals), ROOT, N)
+    host = Polynomial.zerofier_domain(F, vals)
+    assert Polynomial(F, z.to_ints()) == host
+
+
+def test_fast_evaluate_domain_arbitrary():
+    # (ref test: ntt_arithmetics.rs:406-432)
+    coeffs = [random.randrange(P) for _ in range(40)]
+    domain = [random.randrange(P) for _ in range(19)]
+    got = list(L.mont_to_ints(
+        PO.fast_evaluate_domain(PO.DPoly.from_ints(coeffs), L.ints_to_mont(domain))
+    ))
+    host = Polynomial(F, coeffs)
+    assert got == [host.evaluate(x) for x in domain]
+
+
+def test_fast_interpolate_domain_dispatch():
+    # structured domain -> device path; arbitrary -> exact Lagrange
+    k = 11
+    dom_struct = [pow(ROOT, i, P) for i in range(k)]
+    vals = [random.randrange(P) for _ in range(k)]
+    a = PO.fast_interpolate_domain(F, dom_struct, vals, ROOT, N)
+    b = Polynomial.interpolate_domain(F, dom_struct, vals)
+    assert Polynomial(F, a.to_ints()) == b
+
+    dom_rand = [random.randrange(1, P) for _ in range(7)]
+    vals = [random.randrange(P) for _ in range(7)]
+    c = PO.fast_interpolate_domain(F, dom_rand, vals, ROOT, N)
+    d = Polynomial.interpolate_domain(F, dom_rand, vals)
+    assert Polynomial(F, c.to_ints()) == d

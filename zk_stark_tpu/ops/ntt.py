@@ -69,11 +69,7 @@ def _powers_kernel(n: int, nbits: int):
 
 
 @functools.lru_cache(maxsize=None)
-def powers_mont(base_int: int, n: int, scale_int: int = 1) -> jax.Array:
-    """Device array [n, 8] (Montgomery) of ``scale * base^i`` for i in [0, n).
-
-    Cached per (base, n, scale).  base^(2^k) scalars are computed on host.
-    """
+def _powers_mont_cached(base_int: int, n: int, scale_int: int) -> jax.Array:
     if n == 0:
         return jnp.zeros((0, L.NLIMB), dtype=jnp.uint32)
     nbits = max(1, (n - 1).bit_length())
@@ -84,6 +80,20 @@ def powers_mont(base_int: int, n: int, scale_int: int = 1) -> jax.Array:
         basepows_dev = host_base_pows(base_int, nbits)
         init = jnp.broadcast_to(L.int_to_mont(scale_int), (n, L.NLIMB))
         return _powers_kernel(n, nbits)(init, basepows_dev)
+
+
+def powers_mont(base_int: int, n: int, scale_int: int = 1) -> jax.Array:
+    """Device array [n, 8] (Montgomery) of ``scale * base^i`` for i in [0, n).
+
+    Cached per (base, n, scale); inside pooled jits the table is routed as a
+    runtime argument (see ops.constpool) instead of an HLO constant.
+    """
+    from .constpool import intern
+
+    return intern(
+        ("powers", base_int, n, scale_int),
+        _powers_mont_cached(base_int, n, scale_int),
+    )
 
 
 # -----------------------------------------------------------------------------
@@ -135,8 +145,16 @@ def _ntt_kernel(n: int):
 _FOUR_STEP_MIN = 1 << 15
 
 
-@functools.lru_cache(maxsize=None)
 def _twiddle_matrix(root_int: int, r: int, c: int) -> jax.Array:
+    from .constpool import intern
+
+    return intern(
+        ("twiddle", root_int, r, c), _twiddle_matrix_cached(root_int, r, c)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_matrix_cached(root_int: int, r: int, c: int) -> jax.Array:
     """[r, c, 8] Montgomery twiddles root^(k1*i2) (cached)."""
     with jax.ensure_compile_time_eval():
         k1 = jnp.arange(r, dtype=jnp.uint32)[:, None]

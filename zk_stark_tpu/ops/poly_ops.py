@@ -332,6 +332,94 @@ def fast_coset_divide(
 
 
 # -----------------------------------------------------------------------------
+# Arbitrary-domain toolkit (API parity with ntt_arithmetics.rs)
+# -----------------------------------------------------------------------------
+
+
+def fast_zerofier(
+    domain: jax.Array, root_int: int, root_order: int
+) -> DPoly:
+    """Zerofier over an arbitrary device domain [k, 8]
+    (ref: ntt_arithmetics.rs:66-108).
+
+    Pairwise product tree with NTT multiplies; identical coefficients to the
+    reference recursion (polynomial products are unique).  For the prover's
+    structured first-k-powers domains use :func:`zerofier_first_k`, which is
+    O(n log n) in a single fused computation.
+    """
+    k = domain.shape[0]
+    if k == 0:
+        return DPoly.zero()
+    neg = L.neg_mod_jit(domain)
+    ones = jnp.broadcast_to(jnp.asarray(L.ONE_MONT), (k, L.NLIMB))
+    level = [
+        DPoly(jnp.stack([neg[i], ones[i]]), 1) for i in range(k)
+    ]
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(
+                fast_multiply(level[i], level[i + 1], root_int, root_order)
+            )
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    return level[0]
+
+
+def fast_evaluate_domain(
+    poly: DPoly, domain: jax.Array
+) -> jax.Array:
+    """Evaluate a polynomial on an arbitrary device domain [k, 8]
+    (capability of ref: ntt_arithmetics.rs:110-159).
+
+    The reference uses an O(n log^2 n) host-driven remainder tree; here a
+    single batched Horner scan (one multiply body, n steps over the k-wide
+    batch) — O(n*k) arithmetic but fully vectorized, which wins on TPU for
+    every size the protocol uses.  Results are identical field elements.
+    """
+    return evaluate_many(poly.c, domain)
+
+
+def fast_interpolate_domain(
+    field_order_unused,
+    domain_ints: Sequence[int],
+    values_ints: Sequence[int],
+    root_int: int,
+    root_order: int,
+) -> DPoly:
+    """Interpolate over an arbitrary host domain
+    (capability of ref: ntt_arithmetics.rs:172-237).
+
+    Dispatches: first-k-powers domains go to the O(n log n) device
+    barycentric algorithm; general domains use exact Lagrange (interpolation
+    is unique, so coefficients match the reference recursion).
+    """
+    k = len(domain_ints)
+    assert k == len(values_ints)
+    if k == 0:
+        return DPoly.zero()
+    expected = 1
+    structured = True
+    for d in domain_ints:
+        if d % P != expected % P:
+            structured = False
+            break
+        expected = expected * root_int % P
+    if structured and k <= root_order:
+        return interpolate_first_k(
+            root_int, root_order, k, L.ints_to_mont(list(values_ints))
+        )
+    from ..field import Field
+    from ..poly import Polynomial
+
+    host = Polynomial.interpolate_domain(
+        Field(), list(domain_ints), list(values_ints)
+    )
+    return DPoly.from_ints(host.coeffs)
+
+
+# -----------------------------------------------------------------------------
 # Structured domains: first k powers of a primitive n-th root
 # -----------------------------------------------------------------------------
 
@@ -355,6 +443,15 @@ def _one_minus_invpow_cumprod_impl(root_int: int, n: int):
     g = cumprod_mont(terms)
     g_inv = L.batch_inv_jit(g)
     return g, g_inv
+
+
+@functools.lru_cache(maxsize=None)
+def _idx_mont_cached(k: int) -> jax.Array:
+    """Montgomery [k, 8] of the integers 1..k (derivative multipliers)."""
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(
+            L.ints_to_limbs([i * L.R_INT % P for i in range(1, k + 1)])
+        )
 
 
 @functools.lru_cache(maxsize=None)
@@ -405,7 +502,10 @@ def zerofier_first_k(root_int: int, n: int, k: int) -> DPoly:
     (ref: ntt_arithmetics.rs:66-108) for the structured domains used by the
     prover (transition zerofier, stark.rs:188-196).
     """
-    return _zerofier_first_k_cached(root_int, n, k)[0]
+    from .constpool import intern
+
+    coeffs, _ = _zerofier_first_k_cached(root_int, n, k)
+    return DPoly(intern(("zerofier", root_int, n, k), coeffs.c), coeffs._degree)
 
 
 def interpolate_first_k(
@@ -423,11 +523,16 @@ def interpolate_first_k(
     if k == 1:
         return DPoly(values, "unknown")
 
-    zcoeffs, zvals = _zerofier_first_k_cached(root_int, n, k)
+    from .constpool import intern
+
+    zc_raw, zv_raw = _zerofier_first_k_cached(root_int, n, k)
+    zcoeffs = DPoly(
+        intern(("zerofier", root_int, n, k), zc_raw.c), zc_raw._degree
+    )
+    zvals = intern(("zvals", root_int, n, k), zv_raw)
 
     # Z'(w^i) for i < k: derivative coefficients, evaluated by NTT.
-    idx = np.arange(1, k + 1, dtype=object)
-    idx_mont = jnp.asarray(L.ints_to_limbs([int(i) * L.R_INT % P for i in idx]))
+    idx_mont = intern(("idxmont", k), _idx_mont_cached(k))
     dz = L.mont_mul_jit(zcoeffs.c[1:], idx_mont)  # degree k-1, length k
     dz_vals = ntt_mont(DPoly(dz).padded(n), root_int)[:k]
 
@@ -440,8 +545,9 @@ def interpolate_first_k(
     )
 
     # S_j = sum_i u_i/(w^j - w^i) as a cyclic convolution with h.
+    h_ntt = intern(("htable", root_int, n), _h_table_ntt(root_int, n))
     s = intt_mont(
-        L.mont_mul_jit(ntt_mont(a_full, root_int), _h_table_ntt(root_int, n)),
+        L.mont_mul_jit(ntt_mont(a_full, root_int), h_ntt),
         root_int,
     )
 
@@ -480,6 +586,25 @@ def evaluate_many(coeffs: jax.Array, points: jax.Array) -> jax.Array:
     if coeffs.shape[0] == 0:
         return jnp.zeros_like(points)
     return _evaluate_many_kernel(coeffs.shape[0])(coeffs, points)
+
+
+def evaluate_many_batched(coeffs: jax.Array, points: jax.Array) -> jax.Array:
+    """Batched Horner: coeffs [B, n, 8] at points [B, k, 8] -> [B, k, 8].
+
+    One scan of n steps evaluates B different polynomials at B point sets
+    simultaneously (used for periodic round-constant polynomials in
+    long-trace AIRs, where n can be ~10^5)."""
+    zero = jnp.zeros_like(points)
+
+    def body(acc, c):
+        # c: [B, 8]
+        return (
+            L.add_mod(L.mont_mul(acc, points), c[:, None, :]),
+            None,
+        )
+
+    acc, _ = jax.lax.scan(body, zero, jnp.swapaxes(coeffs, 0, 1)[::-1])
+    return acc
 
 
 # -----------------------------------------------------------------------------

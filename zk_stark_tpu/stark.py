@@ -119,21 +119,13 @@ class Stark:
 
     # -- degree bookkeeping (ref: stark.rs:116-186) --------------------------
 
-    def transition_degree_bounds(
-        self, transition_constraints: Sequence[MPolynomial]
-    ) -> list[int]:
+    def transition_degree_bounds(self, transition_constraints) -> list[int]:
+        from .models.air import as_air
+
         point_degrees = [1] + [
             self.original_trace_length + self.num_randomizers - 1
         ] * (2 * self.num_registers)
-        res = []
-        for a in transition_constraints:
-            assert a.dictionary, "cannot calculate max on empty constraint"
-            best = 0
-            for k in a.dictionary:
-                total = sum(r * l for r, l in zip(point_degrees, k))
-                best = max(best, total)
-            res.append(best)
-        return res
+        return as_air(transition_constraints).degree_bounds(point_degrees)
 
     def transition_quotient_degree_bounds(
         self, transition_constraints: Sequence[MPolynomial]
@@ -143,10 +135,7 @@ class Stark:
             for d in self.transition_degree_bounds(transition_constraints)
         ]
 
-    def max_degree(
-        self, transition_constraints: Sequence[MPolynomial]
-    ) -> int:
-        assert transition_constraints, "empty transition constraints"
+    def max_degree(self, transition_constraints) -> int:
         md = max(self.transition_degree_bounds(transition_constraints))
         return (1 << bit_count(md)) - 1
 
@@ -228,13 +217,7 @@ class Stark:
     # This matters because every dispatch pays host<->device latency; the
     # unfused pipeline spent most of its wall time on ~100 small dispatches.
 
-    def _constraints_fingerprint(self, tcs) -> tuple:
-        return tuple(
-            tuple(sorted((tuple(k), v) for k, v in tc.dictionary.items()))
-            for tc in tcs
-        )
-
-    def _build_seg1(self, key, tcs, bi_lens, bz_lens):
+    def _build_seg1(self, key, air, bi_lens, bz_lens):
         p = self.field.order
         m = self.num_registers
         odl = self.omicron_domain_length
@@ -242,8 +225,7 @@ class Stark:
         omicron, omega, g = self.omicron, self.omega, self.generator
         g_inv = pow(g, -1, p)
         orig_t = self.original_trace_length
-        tdb = self.transition_degree_bounds(tcs)
-        tc_dicts = [dict(tc.dictionary) for tc in tcs]
+        tdb = self.transition_degree_bounds(air)
 
         def seg1(trace_cols, bi_arrs, bz_arrs, rand_coeffs):
             T = trace_cols.shape[1]
@@ -277,8 +259,7 @@ class Stark:
 
             tz = zerofier_first_k(omicron, odl, orig_t - 1)
             tqs, tq_degs = [], []
-            for i, tc_dict in enumerate(tc_dicts):
-                cw = mpoly_evaluate_codewords(tc_dict, point)
+            for i, cw in enumerate(air.evaluate_codewords(point)):
                 tpoly = DPoly(intt_mont(cw, omega)).scale(g_inv)
                 tq = fast_coset_divide(
                     tpoly,
@@ -308,9 +289,9 @@ class Stark:
                 jnp.stack(tq_degs),
             )
 
-        import jax
+        from .ops.constpool import pooled_jit
 
-        return jax.jit(seg1)
+        return pooled_jit(seg1)
 
     def _build_seg2(self, key, shifts, lengths):
         p = self.field.order
@@ -333,16 +314,29 @@ class Stark:
 
             return combined, from_mont(combined)
 
-        import jax
+        from .ops.constpool import pooled_jit
 
-        return jax.jit(seg2)
+        return pooled_jit(seg2)
+
+    #: compiled prover segments shared across Stark instances with the same
+    #: configuration (XLA jit caches are per function object; without this,
+    #: every Stark instance recompiles identical programs)
+    _SEG_CACHE: dict = {}
+
+    def _config_key(self) -> tuple:
+        return (
+            self.field.order,
+            self.expansion_factor,
+            self.num_registers,
+            self.original_trace_length,
+            self.num_randomizers,
+            self.omicron_domain_length,
+            self.fri.domain_length,
+        )
 
     def _seg_cache_get(self, name, key, builder, *args):
-        cache = getattr(self, "_seg_cache", None)
-        if cache is None:
-            cache = {}
-            self._seg_cache = cache
-        full_key = (name,) + key
+        full_key = (name, self._config_key()) + key
+        cache = Stark._SEG_CACHE
         if full_key not in cache:
             cache[full_key] = builder(key, *args)
         return cache[full_key]
@@ -391,14 +385,17 @@ class Stark:
             )
             rand_arr = L.ints_to_mont(randomizer_ints)
 
-        tcs_fp = self._constraints_fingerprint(transition_constraints)
+        from .models.air import as_air
+
+        air = as_air(transition_constraints)
+        tcs_fp = air.fingerprint()
         bi_lens = tuple(a.shape[0] for a in bi_arrs)
         bz_lens = tuple(a.shape[0] for a in bz_arrs)
         seg1 = self._seg_cache_get(
             "seg1",
             (randomized_trace_length, bi_lens, bz_lens, tcs_fp),
             self._build_seg1,
-            transition_constraints,
+            air,
             bi_lens,
             bz_lens,
         )
@@ -423,9 +420,7 @@ class Stark:
 
         # weights + degree sanity check (stark.rs:447-464)
         weights = self.sample_weights(
-            1
-            + 2 * len(transition_constraints)
-            + 2 * self.num_registers,
+            1 + 2 * air.num_constraints + 2 * self.num_registers,
             ps.fiat_shamir_prover(PROOF_BYTES),
         )
         if any(d < 0 for d in tq_degrees):
@@ -516,11 +511,12 @@ class Stark:
         ]
         randomizer_root = ps.pull_root()
 
+        from .models.air import as_air
+
+        air = as_air(transition_constraints)
         boundary_interpolants = self.boundary_interpolants(boundary)
         weights = self.sample_weights(
-            1
-            + 2 * len(transition_constraints)
-            + 2 * len(boundary_interpolants),
+            1 + 2 * air.num_constraints + 2 * len(boundary_interpolants),
             ps.fiat_shamir_verifier(PROOF_BYTES),
         )
 
@@ -578,7 +574,7 @@ class Stark:
             randomized_trace_length, boundary
         )
 
-        from .ops.poly_ops import evaluate_many, mpoly_evaluate_codewords
+        from .ops.poly_ops import evaluate_many
 
         idx_next = [
             (i + self.expansion_factor) % self.fri.domain_length
@@ -617,8 +613,7 @@ class Stark:
         tz_inv = L.batch_inv_jit(tz_vals)
 
         terms = [L.ints_to_mont([randomizers[i] for i in indices])]
-        for s, tc in enumerate(transition_constraints):
-            tcv = mpoly_evaluate_codewords(tc.dictionary, point)
+        for s, tcv in enumerate(air.evaluate_codewords(point)):
             quotient = L.mont_mul_jit(tcv, tz_inv)
             terms.append(quotient)
             shift = transition_constraints_degree - tq_bounds[s]

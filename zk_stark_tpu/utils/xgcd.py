@@ -24,3 +24,11 @@ def xgcd(a: int, b: int) -> tuple[int, int, int]:
         old_s, s = s, old_s - q * s
         old_t, t = t, old_t - q * t
     return old_s, old_t, old_r
+
+
+def multiplicative_inverse(x: int, y: int, m: int) -> int:
+    """x * y^-1 mod m (ref: utils/xgcd.rs:50-57)."""
+    a, _, _ = xgcd(y, m)
+    if a < 0:
+        return (m - x) * (-a) % m
+    return x * a % m
