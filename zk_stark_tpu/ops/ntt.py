@@ -129,6 +129,36 @@ def ntt_body(x, powtable, brev, n: int):
     return jax.lax.fori_loop(0, log2n, stage, x)
 
 
+def ntt_body_unrolled(x, powtable, brev, n: int):
+    """Reshape-based DIT butterflies, stages unrolled at trace time.
+
+    Same math as :func:`ntt_body`, but each stage views the (bit-reversed)
+    data as ``[n/(2h), 2, h, *batch]`` so the even/odd halves are contiguous
+    slices: no partner gather, no ``where`` selects, and only n/2 Montgomery
+    multiplies per stage (the fori_loop form pays a full-n multiply plus three
+    selects).  Costs one multiply instance per stage at compile time, so it is
+    used for the large four-step tiles (row length <= 2^11 -> <= 11 instances)
+    where runtime dominates; small/CPU paths keep the one-instance fori_loop.
+    """
+    log2n = n.bit_length() - 1
+    batch_shape = x.shape[1:-1]
+    nb = len(batch_shape)
+    x = jnp.take(x, brev, axis=0)
+    for s in range(log2n):
+        h = 1 << s
+        tablestep = n >> (s + 1)
+        w = powtable[::tablestep]  # [h, 8]: root^(j * n / 2h)
+        xr = x.reshape((n // (2 * h), 2, h) + batch_shape + (L.NLIMB,))
+        even, odd = xr[:, 0], xr[:, 1]
+        wb = jnp.broadcast_to(
+            w.reshape((1, h) + (1,) * nb + (L.NLIMB,)), odd.shape
+        )
+        t = L.mont_mul(odd, wb)
+        out = jnp.stack([L.add_mod(even, t), L.sub_mod(even, t)], axis=1)
+        x = out.reshape((n,) + batch_shape + (L.NLIMB,))
+    return x
+
+
 @functools.lru_cache(maxsize=None)
 def _ntt_kernel(n: int):
     """Jitted full NTT for size n: x must already be padded to n (pow2)."""
@@ -182,10 +212,10 @@ def _four_step_kernel(n: int):
 
     def kernel(x, pow_r, brev_r, pow_c, brev_c, tw):
         x2 = x.reshape(r, c, L.NLIMB)
-        y = ntt_body(x2, pow_r, brev_r, r)           # i1 -> k1 per column
+        y = ntt_body_unrolled(x2, pow_r, brev_r, r)  # i1 -> k1 per column
         y = L.mont_mul(y, tw)                        # w^(k1*i2)
         y = jnp.swapaxes(y, 0, 1)                    # [c, r, 8], axis0 = i2
-        z = ntt_body(y, pow_c, brev_c, c)            # i2 -> k2 per row
+        z = ntt_body_unrolled(y, pow_c, brev_c, c)   # i2 -> k2 per row
         return z.reshape(n, L.NLIMB)
 
     return jax.jit(kernel), r, c
