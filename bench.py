@@ -46,18 +46,35 @@ def bench_ntt_2p20() -> dict:
         L.ints_to_mont([random.randrange(P) for _ in range(4096)]),
         (n // 4096, 1),
     )
-    y = ntt_mont(x, root)
+
+    # prefer the fused-stage Pallas path (TPU); fall back to the jnp
+    # four-step kernel if it is unavailable on this backend
+    transform = ntt_mont
+    which = "jnp"
+    try:
+        from zk_stark_tpu.ops.ntt_pallas import ntt_mont_pallas
+
+        y = ntt_mont_pallas(x, root)
+        ref = ntt_mont(x, root)
+        assert bool(jnp.all(y[:2048] == ref[:2048])), "pallas NTT mismatch"
+        transform = ntt_mont_pallas
+        which = "pallas"
+    except Exception as e:
+        log(f"pallas NTT unavailable ({e!r}); using jnp four-step")
+        y = ntt_mont(x, root)
+
     y.block_until_ready()  # compile
     reps = 10
     t0 = time.time()
     for _ in range(reps):
-        y = ntt_mont(y, root)
+        y = transform(y, root)
     y.block_until_ready()
     dt = (time.time() - t0) / reps
     butterflies = (n // 2) * logn
     return {
         "ntt_2p20_ms": round(dt * 1000, 3),
         "ntt_2p20_butterflies_per_s": round(butterflies / dt),
+        "ntt_2p20_kernel": which,
     }
 
 

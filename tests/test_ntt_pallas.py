@@ -1,0 +1,47 @@
+"""Parity of the fused-stage Pallas NTT against the jnp path.
+
+Runs the Pallas kernels in interpreter mode so the CPU suite covers the
+butterfly/twiddle logic; the compiled-Mosaic path is exercised on real TPU by
+bench.py (which cross-checks against ntt_mont before timing).
+"""
+
+import random
+
+from zk_stark_tpu.field import Field, FIELD_PRIME
+from zk_stark_tpu.ops import limbs as L
+from zk_stark_tpu.ops import ntt as N
+from zk_stark_tpu.ops import ntt_pallas as NP
+
+F = Field()
+
+
+def test_pallas_four_step_matches_jnp_interpret():
+    NP.INTERPRET = True
+    try:
+        random.seed(11)
+        n = 1 << 8
+        vals = [random.randrange(FIELD_PRIME) for _ in range(n)]
+        root = F.primitive_nth_root(n).value
+        want = list(L.mont_to_ints(N.ntt_mont(L.ints_to_mont(vals), root)))
+        got = list(
+            L.mont_to_ints(NP.ntt_mont_pallas(L.ints_to_mont(vals), root))
+        )
+        assert got == want
+    finally:
+        NP.INTERPRET = False
+
+
+def test_stage_twiddle_table_values():
+    n = 16
+    root = F.primitive_nth_root(n).value
+    tbl = NP._stage_twiddle_table(root, n)
+    # stage s entry j must be root^(j * n / 2^(s+1)) in Montgomery form
+    for s in range(4):
+        h = 1 << s
+        step = n >> (s + 1)
+        for j in range(h):
+            want = pow(root, j * step, L.P) * L.R_INT % L.P
+            got = 0
+            for k in reversed(range(L.NLIMB)):
+                got = (got << L.LIMB_BITS) | int(tbl[k, s, j])
+            assert got == want

@@ -51,6 +51,7 @@ class RescuePrime:
             field, m, capacity, security_level, N
         )
         self._device_cache = None
+        self._air_cache: dict = {}
 
     # -- setup ---------------------------------------------------------------
 
@@ -201,7 +202,17 @@ class RescuePrime:
     ) -> list[MPolynomial]:
         """m constraints of the form
         ``MDS * prev^alpha + c_first - (MDS_inv * (next - c_second))^alpha``
-        (ref: rescue_prime.rs:244-279)."""
+        (ref: rescue_prime.rs:244-279).
+
+        Cached per (omicron, domain length): the host-side symbolic build
+        (interpolating 2m round-constant polynomials and composing degree-3
+        multivariate terms) costs ~75 ms and is identical for every
+        prove/verify at a given configuration.
+        """
+        key = (omicron, omicron_domain_length)
+        cached = self._air_cache.get(key)
+        if cached is not None:
+            return cached
         first_step, second_step = self.round_constants_polynomials(
             omicron, omicron_domain_length
         )
@@ -226,6 +237,7 @@ class RescuePrime:
             rhs = rhs ** self.alpha
 
             constraints.append(lhs - rhs)
+        self._air_cache[key] = constraints
         return constraints
 
     def boundary_constraints(

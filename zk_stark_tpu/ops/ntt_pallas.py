@@ -1,0 +1,312 @@
+"""Pallas TPU kernel: fused row-NTT stages in VMEM (limb-plane layout).
+
+The jnp four-step NTT (ops.ntt) materializes the full [R, C, 8] array in HBM
+once per butterfly stage — ~21 full-array round trips for a 2^20 transform,
+which measures ~10x slower than the raw elementwise Montgomery-multiply
+throughput.  This kernel keeps a [8, R, ctile] tile of limb *planes* resident
+in VMEM and runs all log2(R) stages (plus the four-step twiddle multiply) in
+one pass, so HBM sees each element exactly twice per half-transform.
+
+Layout: limb-major planes ``uint32[8, R, C]`` (plane k = limb k), so every
+per-limb slice is a well-tiled [R, ctile] (sublane x lane) 2D array.  The
+transform runs along the R (sublane) axis; C is the batch (lane) axis, tiled
+by the grid.  Input rows must already be in bit-reversed order.
+
+Capability-equivalent of the reference iterative NTT
+(ref: /root/reference/src/fft/ntt.rs:7-49); bit-exact against ops.ntt.ntt_body.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs as L
+
+NLIMB = L.NLIMB
+MASK = L.MASK
+LIMB_BITS = L.LIMB_BITS
+
+#: run pallas_call in interpreter mode (CPU parity testing); set before the
+#: first call for a given shape (calls are cached per shape)
+INTERPRET = False
+
+
+# -----------------------------------------------------------------------------
+# Plane-list field arithmetic (same math as ops.limbs, on lists of 8 arrays)
+# -----------------------------------------------------------------------------
+
+
+def _add_planes(a, b):
+    out, carry = [], jnp.zeros_like(a[0])
+    for k in range(NLIMB):
+        s = a[k] + b[k] + carry
+        out.append(s & MASK)
+        carry = s >> LIMB_BITS
+    return out, carry
+
+
+def _sub_planes(a, b):
+    out, borrow = [], jnp.zeros_like(a[0])
+    for k in range(NLIMB):
+        d = (a[k] | jnp.uint32(1 << LIMB_BITS)) - (b[k] + borrow)
+        out.append(d & MASK)
+        borrow = 1 - (d >> LIMB_BITS)
+    return out, borrow
+
+
+def _sub_p_planes(a):
+    out, borrow = [], jnp.zeros_like(a[0])
+    for k in range(NLIMB):
+        d = (a[k] | jnp.uint32(1 << LIMB_BITS)) - (
+            jnp.uint32(L.P_LIMBS[k]) + borrow
+        )
+        out.append(d & MASK)
+        borrow = 1 - (d >> LIMB_BITS)
+    return out, borrow
+
+
+def _add_p_planes(a):
+    out, carry = [], jnp.zeros_like(a[0])
+    for k in range(NLIMB):
+        s = a[k] + jnp.uint32(L.P_LIMBS[k]) + carry
+        out.append(s & MASK)
+        carry = s >> LIMB_BITS
+    return out, carry
+
+
+def add_mod_planes(a, b):
+    s, carry = _add_planes(a, b)
+    d, borrow = _sub_p_planes(s)
+    take_d = (carry == 1) | (borrow == 0)
+    return [jnp.where(take_d, dk, sk) for dk, sk in zip(d, s)]
+
+
+def sub_mod_planes(a, b):
+    d, borrow = _sub_planes(a, b)
+    dp, _ = _add_p_planes(d)
+    take_dp = borrow == 1
+    return [jnp.where(take_dp, dpk, dk) for dpk, dk in zip(dp, d)]
+
+
+def mont_mul_planes(a, b):
+    """Montgomery product on plane lists (same bounds as limbs.mont_mul)."""
+    az = a[0] * jnp.uint32(0)
+    t = [az + b[0] * jnp.uint32(0) for _ in range(2 * NLIMB + 1)]
+    for i in range(NLIMB):
+        for j in range(NLIMB):
+            prod = a[i] * b[j]
+            t[i + j] = t[i + j] + (prod & MASK)
+            t[i + j + 1] = t[i + j + 1] + (prod >> LIMB_BITS)
+    for k in range(NLIMB):
+        m = (t[k] * jnp.uint32(L.NPRIME)) & MASK
+        for j in range(NLIMB):
+            mp = m * jnp.uint32(L.P_LIMBS[j])
+            t[k + j] = t[k + j] + (mp & MASK)
+            t[k + j + 1] = t[k + j + 1] + (mp >> LIMB_BITS)
+        t[k + 1] = t[k + 1] + (t[k] >> LIMB_BITS)
+    out, carry = [], az
+    for k in range(NLIMB, 2 * NLIMB):
+        v = t[k] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    top = t[2 * NLIMB] + carry
+    d, borrow = _sub_p_planes(out)
+    take_d = (top > 0) | (borrow == 0)
+    return [jnp.where(take_d, dk, rk) for dk, rk in zip(d, out)]
+
+
+# -----------------------------------------------------------------------------
+# Fused-stage kernel
+# -----------------------------------------------------------------------------
+
+
+def _stage_twiddle_table(root_int: int, n: int) -> np.ndarray:
+    """Per-stage twiddles, padded: uint32[8, log2n, n/2].
+
+    Row s holds root^(j * n / 2^(s+1)) for j in [0, 2^s) (stage s needs the
+    first 2^s entries; the rest is padding so every row is n/2 wide).
+    """
+    log2n = n.bit_length() - 1
+    p = L.P
+    out = np.zeros((NLIMB, log2n, max(1, n // 2)), dtype=np.uint32)
+    for s in range(log2n):
+        h = 1 << s
+        step = n >> (s + 1)
+        w = 1
+        base = pow(root_int, step, p)
+        for j in range(h):
+            mont = w * L.R_INT % p
+            for k in range(NLIMB):
+                out[k, s, j] = (mont >> (LIMB_BITS * k)) & MASK
+            w = w * base % p
+    return out
+
+
+def _ntt_stages_kernel(x_ref, tw_ref, ft_ref, o_ref, *, n: int, fuse_tw: bool):
+    """All log2(n) butterfly stages on one VMEM tile.
+
+    x_ref/o_ref: [8, n, ctile] limb planes, rows bit-reversed on input.
+    tw_ref: [8, log2n, n/2] per-stage twiddles.
+    ft_ref: [8, n, ctile] four-step twiddle tile (only when fuse_tw).
+    """
+    log2n = n.bit_length() - 1
+    ctile = x_ref.shape[-1]
+    x = [x_ref[k] for k in range(NLIMB)]  # 8 x [n, ctile]
+
+    for s in range(log2n):
+        h = 1 << s
+        g = n // (2 * h)
+        xr = [xk.reshape(g, 2 * h, ctile) for xk in x]
+        even = [xk[:, :h, :] for xk in xr]
+        odd = [xk[:, h:, :] for xk in xr]
+        w = [
+            jnp.broadcast_to(
+                tw_ref[k, s, :h].reshape(1, h, 1), (g, h, ctile)
+            )
+            for k in range(NLIMB)
+        ]
+        t = mont_mul_planes(odd, w)
+        hi = sub_mod_planes(even, t)
+        lo = add_mod_planes(even, t)
+        x = [
+            jnp.concatenate([lk, hk], axis=1).reshape(n, ctile)
+            for lk, hk in zip(lo, hi)
+        ]
+
+    if fuse_tw:
+        ft = [ft_ref[k] for k in range(NLIMB)]
+        x = mont_mul_planes(x, ft)
+
+    for k in range(NLIMB):
+        o_ref[k] = x[k]
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_planes_call(n: int, c: int, ctile: int, fuse_tw: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    log2n = n.bit_length() - 1
+    grid = (c // ctile,)
+    data_spec = pl.BlockSpec(
+        (NLIMB, n, ctile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    tw_spec = pl.BlockSpec(
+        (NLIMB, log2n, n // 2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_ntt_stages_kernel, n=n, fuse_tw=fuse_tw)
+    if fuse_tw:
+        in_specs = [data_spec, tw_spec, data_spec]
+    else:
+        # dummy 1-element four-step table keeps the kernel signature uniform
+        in_specs = [
+            data_spec,
+            tw_spec,
+            pl.BlockSpec(
+                (NLIMB, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+
+    interpret = INTERPRET
+
+    def call(x_planes, tw, ft):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((NLIMB, n, c), jnp.uint32),
+            in_specs=in_specs,
+            out_specs=data_spec,
+            interpret=interpret,
+        )(x_planes, tw, ft)
+
+    return call
+
+
+#: lane-tile width; 128 matches the VPU lane count.  [8, 1024, 128] data tile
+#: plus mont_mul temporaries stays within VMEM.
+_CTILE = 64
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_tw_dev(root_int: int, n: int):
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(_stage_twiddle_table(root_int, n))
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_pallas(n: int):
+    """Jitted Pallas four-step NTT: [n, 8] natural order -> [n, 8].
+
+    Same decomposition as ops.ntt._four_step_kernel (n = R*C, row NTT +
+    twiddle + transpose + row NTT), with each row transform running all its
+    butterfly stages in VMEM; only the bit-reverse gathers and the transposes
+    touch HBM between stages.
+    """
+    logn = n.bit_length() - 1
+    r = 1 << ((logn + 1) // 2)
+    c = n // r
+
+    def kernel(x, brev_r, brev_c, tw_r, tw_c, ft):
+        x2 = x.reshape(r, c, NLIMB)
+        xb = jnp.take(x2, brev_r, axis=0)
+        planes = xb.transpose(2, 0, 1)                  # [8, r, c]
+        y = ntt_planes(planes, tw_r, ft, n=r)           # i1 -> k1, * w^(k1*i2)
+        yt = jnp.take(y.transpose(0, 2, 1), brev_c, axis=1)
+        z = ntt_planes(yt, tw_c, None, n=c)             # i2 -> k2
+        return z.transpose(1, 2, 0).reshape(n, NLIMB)   # flat k = k1 + r*k2
+
+    return jax.jit(kernel), r, c
+
+
+def ntt_mont_pallas(x, root_int: int):
+    """Forward NTT of Montgomery values via the fused-stage Pallas kernels.
+
+    Bit-exact against ops.ntt.ntt_mont; requires a TPU backend and a
+    power-of-two input length >= 4.
+    """
+    from .constpool import intern
+    from .ntt import _brev
+
+    n = x.shape[0]
+    kern, r, c = _four_step_pallas(n)
+    p = L.P
+    tw_r = intern(
+        ("pallas_stage_tw", pow(root_int, c, p), r),
+        _stage_tw_dev(pow(root_int, c, p), r),
+    )
+    tw_c = intern(
+        ("pallas_stage_tw", pow(root_int, r, p), c),
+        _stage_tw_dev(pow(root_int, r, p), c),
+    )
+    ft = intern(
+        ("pallas_ft_tw", root_int, r, c), _ft_planes(root_int, r, c)
+    )
+    return kern(x, _brev(r), _brev(c), tw_r, tw_c, ft)
+
+
+@functools.lru_cache(maxsize=None)
+def _ft_planes(root_int: int, r: int, c: int):
+    from .ntt import _twiddle_matrix_cached
+
+    with jax.ensure_compile_time_eval():
+        return _twiddle_matrix_cached(root_int, r, c).transpose(2, 0, 1)
+
+
+def ntt_planes(x_planes, tw, ft=None, *, n: int):
+    """Transform bit-reversed limb planes [8, n, c] along axis 1.
+
+    ``tw``: [8, log2n, n/2] stage twiddles (:func:`_stage_twiddle_table`);
+    ``ft``: optional [8, n, c] four-step twiddle multiplied in after the
+    last stage.
+    """
+    c = x_planes.shape[-1]
+    ctile = min(_CTILE, c)
+    assert c % ctile == 0
+    fuse = ft is not None
+    if ft is None:
+        ft = jnp.zeros((NLIMB, 1, 1), dtype=jnp.uint32)
+    return _ntt_planes_call(n, c, ctile, fuse)(x_planes, tw, ft)
