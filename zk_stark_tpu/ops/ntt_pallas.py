@@ -155,12 +155,18 @@ def _ntt_stages_kernel(x_ref, tw_ref, ft_ref, o_ref, *, n: int, fuse_tw: bool):
     """
     log2n = n.bit_length() - 1
     ctile = x_ref.shape[-1]
-    x = [x_ref[k] for k in range(NLIMB)]  # 8 x [n, ctile]
+
+    # Stage values are written back into o_ref between stages: keeping the
+    # whole 10-stage dataflow in SSA form makes Mosaic hold every stage's
+    # buffers live at once (~90 MB scoped VMEM at n=1024); round-tripping
+    # through the ref caps the live set at one stage's temporaries.
+    for k in range(NLIMB):
+        o_ref[k] = x_ref[k]
 
     for s in range(log2n):
         h = 1 << s
         g = n // (2 * h)
-        xr = [xk.reshape(g, 2 * h, ctile) for xk in x]
+        xr = [o_ref[k].reshape(g, 2 * h, ctile) for k in range(NLIMB)]
         even = [xk[:, :h, :] for xk in xr]
         odd = [xk[:, h:, :] for xk in xr]
         w = [
@@ -172,17 +178,17 @@ def _ntt_stages_kernel(x_ref, tw_ref, ft_ref, o_ref, *, n: int, fuse_tw: bool):
         t = mont_mul_planes(odd, w)
         hi = sub_mod_planes(even, t)
         lo = add_mod_planes(even, t)
-        x = [
-            jnp.concatenate([lk, hk], axis=1).reshape(n, ctile)
-            for lk, hk in zip(lo, hi)
-        ]
+        for k in range(NLIMB):
+            o_ref[k] = jnp.concatenate(
+                [lo[k], hi[k]], axis=1
+            ).reshape(n, ctile)
 
     if fuse_tw:
+        x = [o_ref[k] for k in range(NLIMB)]
         ft = [ft_ref[k] for k in range(NLIMB)]
-        x = mont_mul_planes(x, ft)
-
-    for k in range(NLIMB):
-        o_ref[k] = x[k]
+        out = mont_mul_planes(x, ft)
+        for k in range(NLIMB):
+            o_ref[k] = out[k]
 
 
 @functools.lru_cache(maxsize=None)
@@ -212,6 +218,13 @@ def _ntt_planes_call(n: int, c: int, ctile: int, fuse_tw: bool):
         ]
 
     interpret = INTERPRET
+    # the fused stages keep the data tile, the four-step twiddle tile and the
+    # multiply temporaries live at once; the default 16 MB scoped-vmem cap is
+    # too tight at ctile=128; 28 MB fits the measured 24.04 MB working set
+    # without inviting the pipeliner to prefetch every grid step
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=28 * 1024 * 1024
+    )
 
     def call(x_planes, tw, ft):
         return pl.pallas_call(
@@ -221,6 +234,7 @@ def _ntt_planes_call(n: int, c: int, ctile: int, fuse_tw: bool):
             in_specs=in_specs,
             out_specs=data_spec,
             interpret=interpret,
+            compiler_params=params,
         )(x_planes, tw, ft)
 
     return call
@@ -228,7 +242,7 @@ def _ntt_planes_call(n: int, c: int, ctile: int, fuse_tw: bool):
 
 #: lane-tile width; 128 matches the VPU lane count.  [8, 1024, 128] data tile
 #: plus mont_mul temporaries stays within VMEM.
-_CTILE = 64
+_CTILE = 128
 
 
 @functools.lru_cache(maxsize=None)
