@@ -56,9 +56,14 @@ def bench_ntt_2p20() -> dict:
 
         y = ntt_mont_pallas(x, root)
         ref = ntt_mont(x, root)
-        assert bool(jnp.all(y[:2048] == ref[:2048])), "pallas NTT mismatch"
+        # full-array equality: a silent twiddle regression anywhere in the
+        # [r, c] plane must fail loudly, not read as "unavailable"
+        if not bool(jnp.all(y == ref)):
+            raise SystemExit("pallas NTT output mismatch vs jnp four-step")
         transform = ntt_mont_pallas
         which = "pallas"
+    except SystemExit:
+        raise
     except Exception as e:
         log(f"pallas NTT unavailable ({e!r}); using jnp four-step")
         y = ntt_mont(x, root)

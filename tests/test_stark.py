@@ -9,7 +9,7 @@ import pytest
 from zk_stark_tpu.field import Field
 from zk_stark_tpu.models.rescue_prime import RescuePrime
 from zk_stark_tpu.proof_stream import ProofStream
-from zk_stark_tpu.stark import ProvingError, Stark, VerificationError
+from zk_stark_tpu.stark import Stark, VerificationError
 
 F = Field()
 
@@ -48,16 +48,21 @@ def test_prove_verify_and_false_boundary(setup):
 
 
 def test_false_witness_rejected(setup):
-    """A perturbed trace must not yield an accepted proof.
+    """A perturbed trace yields a proof that the VERIFIER rejects.
 
-    Note a deliberate divergence from the reference test (stark.rs:864-880),
-    which expects prove() itself to fail via the quotient degree check.  With
-    the reference's own degree bookkeeping (quotient truncated to
+    SETTLED divergence from the reference test (stark.rs:864-880), which
+    asserts prove() itself fails via the quotient degree check: with the
+    reference's own degree bookkeeping (quotient truncated to
     lhs_deg - rhs_deg + 1 coefficients, stark.rs:451-464 +
-    ntt_arithmetics.rs:296-307), the truncated quotient of an invalid trace
-    generically has degree exactly equal to the bound, so the check passes
-    and rejection happens at verification (combination mismatch).  Soundness
-    is preserved either way; we assert prove-raises OR verify-rejects.
+    ntt_arithmetics.rs:296-307), the truncated quotient of a perturbed
+    trace generically has degree exactly equal to the bound, so the check
+    passes and prove succeeds.  This was verified empirically against an
+    exact host-side reproduction of the reference algorithms
+    (tools/degree_check_experiment.py; write-up in PARITY_NOTES.md): the
+    reference's own assertion is unsatisfiable in exact arithmetic.  We pin
+    the actual behavior deterministically: prove succeeds (degree check
+    passes, same as the reference's code would) and verify rejects via the
+    combination check (stark.rs:756-765).
     """
     rp, stark, air = setup
     random.seed(3)
@@ -71,10 +76,9 @@ def test_false_witness_rejected(setup):
     err = F.sample(random.randbytes(17)).value
     trace[cycle][register] = (trace[cycle][register] + err) % F.order
 
-    try:
-        proof = stark.prove(trace, air, boundary, ProofStream(F))
-    except ProvingError:
-        return  # also acceptable
+    # generic perturbation: the degree check passes, exactly as the
+    # reference's truncated-quotient bookkeeping dictates
+    proof = stark.prove(trace, air, boundary, ProofStream(F))
     with pytest.raises(VerificationError):
         stark.verify(air, boundary, ProofStream.deserialize(proof, F))
 

@@ -212,7 +212,7 @@ class RescuePrime:
         key = (omicron, omicron_domain_length)
         cached = self._air_cache.get(key)
         if cached is not None:
-            return cached
+            return list(cached)
         first_step, second_step = self.round_constants_polynomials(
             omicron, omicron_domain_length
         )
@@ -237,7 +237,9 @@ class RescuePrime:
             rhs = rhs ** self.alpha
 
             constraints.append(lhs - rhs)
-        self._air_cache[key] = constraints
+        # store an immutable tuple and hand out fresh lists so caller-side
+        # mutation cannot poison the cached AIR
+        self._air_cache[key] = tuple(constraints)
         return constraints
 
     def boundary_constraints(
