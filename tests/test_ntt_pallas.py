@@ -45,3 +45,30 @@ def test_stage_twiddle_table_values():
             for k in reversed(range(L.NLIMB)):
                 got = (got << L.LIMB_BITS) | int(tbl[k, s, j])
             assert got == want
+
+
+def test_pease_constant_geometry_matches_inplace():
+    """The constant-geometry dataflow (adjacent pairs -> split halves with
+    twiddle exponent (i >> (L-1-s)) << (L-1-s)) equals the in-place DIT on
+    host ints, with identity output permutation."""
+    random.seed(5)
+    n = 32
+    log2n = 5
+    p = FIELD_PRIME
+    root = F.primitive_nth_root(n).value
+    vals = [random.randrange(p) for _ in range(n)]
+    want = list(L.mont_to_ints(N.ntt_mont(L.ints_to_mont(vals), root)))
+
+    from zk_stark_tpu.utils.bits import bit_reverse_indices
+
+    x = [vals[j] for j in bit_reverse_indices(n)]
+    for s in range(log2n):
+        t = log2n - 1 - s
+        y = [0] * n
+        for i in range(n // 2):
+            tw = pow(root, (i >> t) << t, p)
+            a, b = x[2 * i], x[2 * i + 1]
+            y[i] = (a + tw * b) % p
+            y[i + n // 2] = (a - tw * b) % p
+        x = y
+    assert x == want

@@ -152,14 +152,19 @@ def _ntt_stages_kernel(x_ref, tw_ref, ft_ref, o_ref, *, n: int, fuse_tw: bool):
     x_ref/o_ref: [8, n, ctile] limb planes, rows bit-reversed on input.
     tw_ref: [8, log2n, n/2] per-stage twiddles.
     ft_ref: [8, n, ctile] four-step twiddle tile (only when fuse_tw).
+
+    Stages are unrolled at trace time (the reshape geometry changes per
+    stage).  Mosaic keeps most of the 10-stage dataflow live at once —
+    ~90 MB scoped VMEM at n=1024/ctile=128 — which FITS on v5e/v6e
+    (128 MB VMEM); round 1 failed only because the compiler-params limit
+    was set to 28 MB.  A constant-geometry (Pease) fori_loop variant that
+    bounds the live set to one stage was measured 3x slower (25 ms vs
+    8.7 ms at 2^20) due to per-stage sublane de-interleaves, so the
+    unrolled form is kept.
     """
     log2n = n.bit_length() - 1
     ctile = x_ref.shape[-1]
 
-    # Stage values are written back into o_ref between stages: keeping the
-    # whole 10-stage dataflow in SSA form makes Mosaic hold every stage's
-    # buffers live at once (~90 MB scoped VMEM at n=1024); round-tripping
-    # through the ref caps the live set at one stage's temporaries.
     for k in range(NLIMB):
         o_ref[k] = x_ref[k]
 
@@ -192,7 +197,7 @@ def _ntt_stages_kernel(x_ref, tw_ref, ft_ref, o_ref, *, n: int, fuse_tw: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _ntt_planes_call(n: int, c: int, ctile: int, fuse_tw: bool):
+def _ntt_planes_call(n: int, c: int, ctile: int, fuse_tw: bool, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -217,13 +222,11 @@ def _ntt_planes_call(n: int, c: int, ctile: int, fuse_tw: bool):
             ),
         ]
 
-    interpret = INTERPRET
-    # the fused stages keep the data tile, the four-step twiddle tile and the
-    # multiply temporaries live at once; the default 16 MB scoped-vmem cap is
-    # too tight at ctile=128; 28 MB fits the measured 24.04 MB working set
-    # without inviting the pipeliner to prefetch every grid step
+    # v5e/v6e have 128 MB of VMEM; grant the kernel most of it so the
+    # pipeliner can double-buffer the 4 MB data tiles around the stage loop
+    # (the loop body itself keeps one stage's temporaries live)
     params = None if interpret else pltpu.CompilerParams(
-        vmem_limit_bytes=28 * 1024 * 1024
+        vmem_limit_bytes=100 * 1024 * 1024
     )
 
     def call(x_planes, tw, ft):
@@ -286,6 +289,10 @@ def ntt_mont_pallas(x, root_int: int):
     from .ntt import _brev
 
     n = x.shape[0]
+    assert n >= 4 and (n & (n - 1)) == 0, (
+        f"ntt_mont_pallas requires a power-of-two length >= 4, got {n} "
+        "(pad with ops.ntt._pad_pow2 or use ops.ntt.ntt_mont)"
+    )
     kern, r, c = _four_step_pallas(n)
     p = L.P
     tw_r = intern(
@@ -323,4 +330,4 @@ def ntt_planes(x_planes, tw, ft=None, *, n: int):
     fuse = ft is not None
     if ft is None:
         ft = jnp.zeros((NLIMB, 1, 1), dtype=jnp.uint32)
-    return _ntt_planes_call(n, c, ctile, fuse)(x_planes, tw, ft)
+    return _ntt_planes_call(n, c, ctile, fuse, INTERPRET)(x_planes, tw, ft)
