@@ -23,9 +23,62 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax  # noqa: E402
 
+# The env var alone does not activate the persistent cache in this image
+# (verified empirically: no cache dir was ever created in round 1); the
+# config.update path works and cuts the cold 2^20 pallas compile from 542 s
+# to 148 s in a fresh process.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ["JAX_COMPILATION_CACHE_DIR"],
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def bench_hbm_bw() -> dict:
+    """Measured HBM bandwidth: big-array read+write with a data-dependent
+    scalar per rep (defeats folding) and per-rep blocking (min over reps)."""
+    import jax.numpy as jnp
+
+    n = 1 << 27  # 512 MiB of uint32
+    y = jnp.zeros((n,), dtype=jnp.uint32)
+    f = jax.jit(lambda a, s: a ^ s)
+    y = f(y, jnp.uint32(1))
+    y.block_until_ready()
+    best = float("inf")
+    for i in range(8):
+        t0 = time.time()
+        y = f(y, jnp.uint32(i))
+        y.block_until_ready()
+        best = min(best, time.time() - t0)
+    gbps = 2 * 4 * n / best / 1e9  # read + write
+    return {"hbm_bw_gbps": round(gbps, 1)}
+
+
+#: element size: 8 uint32 limbs
+_ELT = 32
+
+
+def _roofline(name: str, measured_ms: float, bytes_moved: int, bw_gbps: float,
+              mont_muls: int = 0) -> dict:
+    """bytes-moved model vs measured HBM bandwidth => % of speed-of-light.
+
+    ``mont_muls`` adds a compute-bound term: one 8x16-bit Montgomery multiply
+    is ~500 uint32 VPU lane-ops; v5e's VPU sustains ~0.9e12 lane-ops/s.  The
+    reported SoL is max(memory-bound, compute-bound) — the tighter ceiling.
+    """
+    mem_ms = bytes_moved / (bw_gbps * 1e9) * 1000
+    vpu_ops_per_s = 0.9e12
+    compute_ms = mont_muls * 500 / vpu_ops_per_s * 1000
+    sol_ms = max(mem_ms, compute_ms)
+    return {
+        f"{name}_sol_ms": round(sol_ms, 3),
+        f"{name}_sol_bound": "compute" if compute_ms > mem_ms else "memory",
+        f"{name}_pct_sol": round(100 * sol_ms / measured_ms, 1),
+    }
 
 
 def bench_ntt_2p20() -> dict:
@@ -76,11 +129,24 @@ def bench_ntt_2p20() -> dict:
     y.block_until_ready()
     dt = (time.time() - t0) / reps
     butterflies = (n // 2) * logn
-    return {
+    out = {
         "ntt_2p20_ms": round(dt * 1000, 3),
         "ntt_2p20_butterflies_per_s": round(butterflies / dt),
         "ntt_2p20_kernel": which,
     }
+    bw = _BW.get("hbm_bw_gbps")
+    if bw:
+        # fused four-step traffic: bit-reverse gather (r+w), pallas pass 1
+        # incl. four-step twiddle read (2r+w), transpose+bit-reverse (r+w),
+        # pallas pass 2 (r+w), final transpose (r+w) ~= 11 array transits;
+        # compute: n/2*log2(n) butterfly muls + n twiddle muls
+        out.update(
+            _roofline(
+                "ntt_2p20", out["ntt_2p20_ms"], 11 * n * _ELT, bw,
+                mont_muls=butterflies + n,
+            )
+        )
+    return out
 
 
 def bench_rescue_batch() -> dict:
@@ -100,10 +166,68 @@ def bench_rescue_batch() -> dict:
         out = rp.hash_batch_device(inputs)
     out.block_until_ready()
     dt = (time.time() - t0) / reps
-    return {
+    out = {
         "rescue_hash_2p14_ms": round(dt * 1000, 3),
         "rescue_hashes_per_s": round(b / dt),
     }
+    bw = _BW.get("hbm_bw_gbps")
+    if bw:
+        # compute-bound: per element, 27 rounds of x^3 (2 muls) + MDS (4) +
+        # x^alpha_inv (~170 windowed muls) + MDS (4); memory: in + out
+        muls = b * 27 * (2 + 4 + 170 + 4)
+        out.update(
+            _roofline(
+                "rescue_2p14", out["rescue_hash_2p14_ms"],
+                2 * b * _ELT, bw, mont_muls=muls,
+            )
+        )
+    return out
+
+
+def bench_fold_2p20() -> dict:
+    """One fused FRI fold round (fold + canonical conversion) at 2^20."""
+    import random
+
+    import jax.numpy as jnp
+
+    from zk_stark_tpu.field import FIELD_PRIME as P
+    from zk_stark_tpu.field import Field
+    from zk_stark_tpu.fri import _fold_round_kernel
+    from zk_stark_tpu.ops import limbs as L
+    from zk_stark_tpu.ops.ntt import powers_mont
+
+    field = Field()
+    random.seed(1)
+    n = 1 << 20
+    omega = field.primitive_nth_root(n).value
+    cw = jnp.tile(
+        L.ints_to_mont([random.randrange(P) for _ in range(4096)]),
+        (n // 4096, 1),
+    )
+    invpows = powers_mont(pow(omega, -1, P), n // 2)
+    ao = L.int_to_mont(12345 * pow(field.generator().value, -1, P) % P)
+    two_inv = L.int_to_mont(pow(2, -1, P))
+    kern = _fold_round_kernel(n)
+    folded, canon = kern(cw, invpows, ao, two_inv)
+    folded.block_until_ready()
+    reps = 20
+    t0 = time.time()
+    for _ in range(reps):
+        folded, canon = kern(cw, invpows, ao, two_inv)
+    canon.block_until_ready()
+    dt = (time.time() - t0) / reps
+    out = {"fold_2p20_ms": round(dt * 1000, 3)}
+    bw = _BW.get("hbm_bw_gbps")
+    if bw:
+        # read cw (n) + invpows (n/2), write folded + canon (n/2 each);
+        # muls: factors, f*d, *2^-1, canonicalize = 4 * n/2
+        out.update(
+            _roofline(
+                "fold_2p20", out["fold_2p20_ms"],
+                int(2.5 * n) * _ELT, bw, mont_muls=2 * n,
+            )
+        )
+    return out
 
 
 def bench_rpsss() -> dict:
@@ -187,11 +311,20 @@ def bench_chain() -> dict:
     }
 
 
+#: measured HBM bandwidth, filled by main() before the kernel benches
+_BW: dict = {}
+
+
 def main() -> None:
     log(f"devices: {jax.devices()}")
     extras = {}
+    _BW.update(bench_hbm_bw())
+    extras.update(_BW)
+    log(f"hbm: {extras}")
     extras.update(bench_ntt_2p20())
     log(f"ntt: {extras}")
+    extras.update(bench_fold_2p20())
+    log(f"fold: {extras}")
     extras.update(bench_rescue_batch())
     log(f"rescue: {extras}")
     if not os.environ.get("BENCH_SKIP_CHAIN"):

@@ -48,24 +48,36 @@ def _fold_kernel(n: int):
     return jax.jit(kernel)
 
 
+def _fold_round_kernel(n: int, engine=None):
+    from .parallel.engine import DEFAULT
+
+    return _fold_round_kernel_cached(n, engine if engine is not None else DEFAULT)
+
+
 @functools.lru_cache(maxsize=None)
-def _fold_round_kernel(n: int):
+def _fold_round_kernel_cached(n: int, engine):
     """Fused FRI round: fold + canonical (non-Montgomery) conversion.
 
     One device dispatch per round — the transcript forces a host sync every
     round anyway (the next alpha depends on this round's Merkle root), so
     the goal is exactly one round-trip per round.
+
+    Under a DistEngine the codeword stays block-sharded: the lo/hi halves
+    live on disjoint device groups and GSPMD inserts the collective permute
+    for the pairing; everything else is local elementwise work.
     """
     half = n // 2
     one = L.int_to_limbs(1)
 
     def kernel(cw, invpows, ao_scalar, two_inv):
+        cw = engine.constrain(cw)
         factors = L.mont_mul(jnp.broadcast_to(ao_scalar, invpows.shape), invpows)
         lo, hi = cw[:half], cw[half:]
         s = L.add_mod(lo, hi)
         d = L.sub_mod(lo, hi)
         folded = L.add_mod(s, L.mont_mul(factors, d))
         folded = L.mont_mul(jnp.broadcast_to(two_inv, folded.shape), folded)
+        folded = engine.constrain(folded)
         canon = L.mont_mul(folded, jnp.broadcast_to(jnp.asarray(one), folded.shape))
         return folded, canon
 
@@ -83,13 +95,17 @@ class FRI:
         domain_length: int,
         expansion_factor: int,
         num_colinearity_tests: int,
+        engine=None,
     ):
+        from .parallel.engine import DEFAULT
+
         self.field = field
         self.offset = offset
         self.omega = omega
         self.domain_length = domain_length
         self.expansion_factor = expansion_factor
         self.num_colinearity_tests = num_colinearity_tests
+        self.engine = engine if engine is not None else DEFAULT
 
     def num_rounds(self) -> int:
         """(ref: fri.rs:40-50)"""
@@ -206,7 +222,7 @@ class FRI:
 
             ao = L.int_to_mont(alpha * pow(offset, -1, p) % p)
             invpows = powers_mont(pow(omega, -1, p), n // 2)
-            cw_dev, codeword_canon = _fold_round_kernel(n)(
+            cw_dev, codeword_canon = _fold_round_kernel(n, self.engine)(
                 cw_dev, invpows, ao, two_inv
             )
             omega = omega * omega % p

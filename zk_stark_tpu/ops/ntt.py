@@ -79,7 +79,12 @@ def _powers_mont_cached(base_int: int, n: int, scale_int: int) -> jax.Array:
     with jax.ensure_compile_time_eval():
         basepows_dev = host_base_pows(base_int, nbits)
         init = jnp.broadcast_to(L.int_to_mont(scale_int), (n, L.NLIMB))
-        return _powers_kernel(n, nbits)(init, basepows_dev)
+        out = _powers_kernel(n, nbits)(init, basepows_dev)
+        # re-materialize from host bytes: a table first computed during a
+        # shard_map (Manual-mesh) trace otherwise caches a Manual-typed
+        # aval that poisons every later jit trace mixing it with
+        # Auto-sharded arrays ("Mesh for all inputs should be equal")
+        return jax.device_put(np.asarray(out))
 
 
 def powers_mont(base_int: int, n: int, scale_int: int = 1) -> jax.Array:

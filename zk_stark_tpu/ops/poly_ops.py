@@ -263,32 +263,42 @@ def _halve_root(degree: int, root_int: int, order: int) -> tuple[int, int]:
     return root_int, order
 
 
+def _engine(engine):
+    if engine is not None:
+        return engine
+    from ..parallel.engine import DEFAULT
+
+    return DEFAULT
+
+
 def fast_multiply(
-    lhs: DPoly, rhs: DPoly, root_int: int, root_order: int
+    lhs: DPoly, rhs: DPoly, root_int: int, root_order: int, engine=None
 ) -> DPoly:
     """NTT polynomial product (ref: ntt_arithmetics.rs:5-64)."""
+    eng = _engine(engine)
     if lhs.is_zero() or rhs.is_zero():
         return DPoly.zero()
     degree = lhs.degree() + rhs.degree()
     result_len = degree + 1
     root, order = _halve_root(degree, root_int, root_order)
     assert degree < order, "product degree exceeds available root order"
-    la = ntt_mont(lhs.truncated(lhs.degree() + 1).padded(order), root)
-    lb = ntt_mont(rhs.truncated(rhs.degree() + 1).padded(order), root)
-    coeffs = intt_mont(L.mont_mul_jit(la, lb), root)
+    la = eng.ntt(lhs.truncated(lhs.degree() + 1).padded(order), root)
+    lb = eng.ntt(rhs.truncated(rhs.degree() + 1).padded(order), root)
+    coeffs = eng.intt(L.mont_mul_jit(la, lb), root)
     out = DPoly(coeffs, degree).truncated(result_len)
     return out
 
 
 def fast_coset_evaluate(
-    poly: DPoly, offset_int: int, root_int: int, order: int
+    poly: DPoly, offset_int: int, root_int: int, order: int, engine=None
 ) -> jax.Array:
     """Evaluate on the coset ``offset * root^i`` (ref: ntt_arithmetics.rs:161-170).
 
     Returns the codeword as a device array [order, 8].
     """
+    eng = _engine(engine)
     scaled = poly.scale(offset_int)
-    return ntt_mont(scaled.padded(order), root_int)
+    return eng.ntt(scaled.padded(order), root_int)
 
 
 def fast_coset_divide(
@@ -299,6 +309,7 @@ def fast_coset_divide(
     root_order: int,
     lhs_degree: Optional[int] = None,
     rhs_degree: Optional[int] = None,
+    engine=None,
 ) -> DPoly:
     """Exact division via coset NTT (ref: ntt_arithmetics.rs:239-310).
 
@@ -308,6 +319,7 @@ def fast_coset_divide(
     statically known (e.g. generic randomized-trace degrees) so the call is
     traceable inside jit without a device sync.
     """
+    eng = _engine(engine)
     if lhs_degree is None:
         assert not rhs.is_zero(), "cannot divide by zero polynomial"
         if lhs.is_zero():
@@ -323,10 +335,10 @@ def fast_coset_divide(
 
     lhs = lhs.truncated(lhs_degree + 1)
     rhs = rhs.truncated(rhs_degree + 1)
-    la = ntt_mont(lhs.scale(offset_int).padded(order), root)
-    lb = ntt_mont(rhs.scale(offset_int).padded(order), root)
-    quot = L.mont_mul_jit(la, L.batch_inv_jit(lb))
-    coeffs = intt_mont(quot, root)
+    la = eng.ntt(lhs.scale(offset_int).padded(order), root)
+    lb = eng.ntt(rhs.scale(offset_int).padded(order), root)
+    quot = L.mont_mul_jit(la, eng.batch_inv(lb))
+    coeffs = eng.intt(quot, root)
     scaled = DPoly(coeffs).truncated(result_len)
     return scaled.scale(pow(offset_int, -1, P))
 
@@ -509,7 +521,7 @@ def zerofier_first_k(root_int: int, n: int, k: int) -> DPoly:
 
 
 def interpolate_first_k(
-    root_int: int, n: int, k: int, values: jax.Array
+    root_int: int, n: int, k: int, values: jax.Array, engine=None
 ) -> DPoly:
     """Interpolate values over the first k powers of w (primitive n-th root).
 
@@ -517,9 +529,10 @@ def interpolate_first_k(
     the reference ``fast_interpolate_domain`` (ref: ntt_arithmetics.rs:172-237)
     because interpolation is unique.  O(n log n) barycentric/NTT algorithm.
     """
+    eng = _engine(engine)
     assert 0 < k <= n and values.shape[0] == k
     if k == n:
-        return DPoly(intt_mont(values, root_int), "unknown")
+        return DPoly(eng.intt(values, root_int), "unknown")
     if k == 1:
         return DPoly(values, "unknown")
 
@@ -529,12 +542,12 @@ def interpolate_first_k(
     zcoeffs = DPoly(
         intern(("zerofier", root_int, n, k), zc_raw.c), zc_raw._degree
     )
-    zvals = intern(("zvals", root_int, n, k), zv_raw)
+    zvals = eng.constrain(intern(("zvals", root_int, n, k), zv_raw))
 
     # Z'(w^i) for i < k: derivative coefficients, evaluated by NTT.
     idx_mont = intern(("idxmont", k), _idx_mont_cached(k))
     dz = L.mont_mul_jit(zcoeffs.c[1:], idx_mont)  # degree k-1, length k
-    dz_vals = ntt_mont(DPoly(dz).padded(n), root_int)[:k]
+    dz_vals = eng.ntt(DPoly(dz).padded(n), root_int)[:k]
 
     # u_i = v_i / Z'(w^i), weighted by w^{-i} for the convolution kernel.
     u = L.mont_mul_jit(values, L.batch_inv_jit(dz_vals))
@@ -545,9 +558,9 @@ def interpolate_first_k(
     )
 
     # S_j = sum_i u_i/(w^j - w^i) as a cyclic convolution with h.
-    h_ntt = intern(("htable", root_int, n), _h_table_ntt(root_int, n))
-    s = intt_mont(
-        L.mont_mul_jit(ntt_mont(a_full, root_int), h_ntt),
+    h_ntt = eng.constrain(intern(("htable", root_int, n), _h_table_ntt(root_int, n)))
+    s = eng.intt(
+        L.mont_mul_jit(eng.ntt(a_full, root_int), h_ntt),
         root_int,
     )
 
@@ -557,7 +570,7 @@ def interpolate_first_k(
     )
     mask = (jnp.arange(n) < k)[:, None]
     ivals = jnp.where(mask, v_full, off_domain)
-    return DPoly(intt_mont(ivals, root_int)).truncated(k)
+    return DPoly(eng.intt(ivals, root_int)).truncated(k)
 
 
 @functools.lru_cache(maxsize=None)

@@ -9,6 +9,8 @@ space Rust with no distribution (SURVEY §2/§5); this layer is new capability.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -16,7 +18,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXIS = "shard"
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
+@functools.lru_cache(maxsize=None)
+def _make_mesh_cached(n_devices: int | None) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
         assert len(devices) >= n_devices, (
@@ -24,6 +27,11 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
         )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (AXIS,))
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """One Mesh instance per device count (sharding equality relies on it)."""
+    return _make_mesh_cached(n_devices)
 
 
 def col_sharding(mesh: Mesh) -> NamedSharding:

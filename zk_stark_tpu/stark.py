@@ -31,7 +31,7 @@ from . import merkle
 from .field import Field
 from .fri import FRI
 from .ops import limbs as L
-from .ops.ntt import intt_mont, powers_mont
+from .ops.ntt import powers_mont
 from .ops.poly_ops import (
     DPoly,
     degree_device,
@@ -72,6 +72,7 @@ class Stark:
         num_cycles: int,
         transition_constraints_degree: int,
         rng: Callable[[int], bytes] = os.urandom,
+        engine=None,
     ):
         assert bit_count(field.order) >= security_level, (
             f"field order must be at least {security_level} bits"
@@ -85,12 +86,18 @@ class Stark:
             f"{security_level}"
         )
 
+        from .parallel.engine import DEFAULT
+
         self.field = field
         self.expansion_factor = expansion_factor
         self.num_registers = num_registers
         self.original_trace_length = num_cycles
         self.num_randomizers = 4 * num_collinearity_checks
         self._rng = rng
+        #: execution engine (parallel.engine): single-device by default; a
+        #: DistEngine runs the prover's device segments sharded over a mesh
+        #: with byte-identical output (SURVEY §7 step 9)
+        self.engine = engine if engine is not None else DEFAULT
         #: optional utils.profiling.StageTimer; when set, prove() accumulates
         #: per-stage wall times into it (aux tracing subsystem)
         self.timer = None
@@ -115,6 +122,7 @@ class Stark:
             fri_domain_length,
             expansion_factor,
             num_collinearity_checks,
+            engine=self.engine,
         )
 
     # -- degree bookkeeping (ref: stark.rs:116-186) --------------------------
@@ -227,10 +235,14 @@ class Stark:
         orig_t = self.original_trace_length
         tdb = self.transition_degree_bounds(air)
 
+        eng = self.engine
+
         def seg1(trace_cols, bi_arrs, bz_arrs, rand_coeffs):
             T = trace_cols.shape[1]
             tps = [
-                interpolate_first_k(omicron, odl, T, trace_cols[s])
+                interpolate_first_k(
+                    omicron, odl, T, trace_cols[s], engine=eng
+                )
                 for s in range(m)
             ]
 
@@ -245,14 +257,22 @@ class Stark:
                     odl,
                     lhs_degree=T - 1,
                     rhs_degree=bz_lens[s] - 1,
+                    engine=eng,
                 )
                 bqs.append(bq)
-                bq_cws.append(fast_coset_evaluate(bq, g, omega, fri_dl))
+                bq_cws.append(
+                    fast_coset_evaluate(bq, g, omega, fri_dl, engine=eng)
+                )
 
-            x_cw = powers_mont(omega, fri_dl, scale_int=g)
-            cur = [fast_coset_evaluate(tp, g, omega, fri_dl) for tp in tps]
+            x_cw = eng.constrain(powers_mont(omega, fri_dl, scale_int=g))
+            cur = [
+                fast_coset_evaluate(tp, g, omega, fri_dl, engine=eng)
+                for tp in tps
+            ]
             nxt = [
-                fast_coset_evaluate(tp.scale(omicron), g, omega, fri_dl)
+                fast_coset_evaluate(
+                    tp.scale(omicron), g, omega, fri_dl, engine=eng
+                )
                 for tp in tps
             ]
             point = [x_cw] + cur + nxt
@@ -260,7 +280,7 @@ class Stark:
             tz = zerofier_first_k(omicron, odl, orig_t - 1)
             tqs, tq_degs = [], []
             for i, cw in enumerate(air.evaluate_codewords(point)):
-                tpoly = DPoly(intt_mont(cw, omega)).scale(g_inv)
+                tpoly = DPoly(eng.intt(cw, omega)).scale(g_inv)
                 tq = fast_coset_divide(
                     tpoly,
                     tz,
@@ -269,12 +289,13 @@ class Stark:
                     odl,
                     lhs_degree=tdb[i],
                     rhs_degree=orig_t - 1,
+                    engine=eng,
                 )
                 tqs.append(tq)
                 tq_degs.append(degree_device(tq.c))
 
             rand_cw = fast_coset_evaluate(
-                DPoly(rand_coeffs), g, omega, fri_dl
+                DPoly(rand_coeffs), g, omega, fri_dl, engine=eng
             )
 
             from .ops.limbs import from_mont
@@ -299,6 +320,8 @@ class Stark:
         omega, g = self.omega, self.generator
         max_len = max(ln + sh for ln, sh in zip(lengths, shifts))
 
+        eng = self.engine
+
         def seg2(weights_arr, term_arrs):
             comb = jnp.zeros((max_len, L.NLIMB), dtype=jnp.uint32)
             for idx, arr in enumerate(term_arrs):
@@ -309,7 +332,9 @@ class Stark:
                 seg = L.add_mod(comb[sh : sh + ln], contrib)
                 comb = comb.at[sh : sh + ln].set(seg)
 
-            combined = fast_coset_evaluate(DPoly(comb), g, omega, fri_dl)
+            combined = fast_coset_evaluate(
+                DPoly(comb), g, omega, fri_dl, engine=eng
+            )
             from .ops.limbs import from_mont
 
             return combined, from_mont(combined)
@@ -332,6 +357,7 @@ class Stark:
             self.num_randomizers,
             self.omicron_domain_length,
             self.fri.domain_length,
+            self.engine.cache_key,
         )
 
     def _seg_cache_get(self, name, key, builder, *args):
