@@ -39,22 +39,33 @@ def log(msg: str) -> None:
 
 
 def bench_hbm_bw() -> dict:
-    """Measured HBM bandwidth: big-array read+write with a data-dependent
-    scalar per rep (defeats folding) and per-rep blocking (min over reps)."""
+    """Measured HBM bandwidth via a while-loop streaming kernel.
+
+    A single elementwise dispatch is too fast to time reliably over the
+    axon transport (round-1 measured an impossible 10.5 TB/s on v5e), so
+    the kernel runs K loop iterations inside one program: the loop carry
+    must materialize to HBM every iteration (512 MiB cannot live in VMEM),
+    forcing K*(read+write) traffic under one wall-clock measurement.
+    """
     import jax.numpy as jnp
 
     n = 1 << 27  # 512 MiB of uint32
+    iters = 16
+
+    def body(i, a):
+        return a ^ (i.astype(jnp.uint32) | jnp.uint32(1))
+
+    f = jax.jit(lambda a: jax.lax.fori_loop(0, iters, body, a))
     y = jnp.zeros((n,), dtype=jnp.uint32)
-    f = jax.jit(lambda a, s: a ^ s)
-    y = f(y, jnp.uint32(1))
+    y = f(y)
     y.block_until_ready()
     best = float("inf")
-    for i in range(8):
+    for _ in range(3):
         t0 = time.time()
-        y = f(y, jnp.uint32(i))
+        y = f(y)
         y.block_until_ready()
         best = min(best, time.time() - t0)
-    gbps = 2 * 4 * n / best / 1e9  # read + write
+    gbps = iters * 2 * 4 * n / best / 1e9  # read + write per iteration
     return {"hbm_bw_gbps": round(gbps, 1)}
 
 
@@ -230,6 +241,57 @@ def bench_fold_2p20() -> dict:
     return out
 
 
+def bench_merkle_2p18() -> dict:
+    """Merkle commitment of a 2^18 codeword: device BLAKE2b vs host C++.
+
+    The device tree (ops/blake2b_dev.py) keeps digests on device and moves
+    64 bytes to the host; the host path moves the 8 MiB canonical array and
+    hashes on CPU threads (VERDICT r1 item 6).
+    """
+    import random
+
+    from zk_stark_tpu import merkle
+    from zk_stark_tpu.field import FIELD_PRIME as P
+    from zk_stark_tpu.ops import limbs as L
+
+    import numpy as np
+
+    random.seed(2)
+    n = 1 << 18
+    base = L.ints_to_limbs([random.randrange(P) for _ in range(4096)])
+    limbs_np = np.tile(base, (n // 4096, 1))
+    import jax.numpy as jnp
+
+    limbs_dev = jnp.asarray(limbs_np)
+
+    dev_tree = merkle.tree_for_codeword(limbs_dev, device=True)  # compile
+    t0 = time.time()
+    dev_tree = merkle.tree_for_codeword(limbs_dev, device=True)
+    root_dev = dev_tree.root
+    dev_ms = (time.time() - t0) * 1000
+
+    t0 = time.time()
+    host_tree = merkle.tree_for_codeword(limbs_np, device=False)
+    host_ms = (time.time() - t0) * 1000
+    assert root_dev == host_tree.root, "device/host Merkle root mismatch"
+
+    out = {
+        "merkle_2p18_device_ms": round(dev_ms, 2),
+        "merkle_2p18_host_ms": round(host_ms, 2),
+        "merkle_2p18_hashes_per_s": round((2 * n - 1) / (dev_ms / 1000)),
+    }
+    bw = _BW.get("hbm_bw_gbps")
+    if bw:
+        # ~2n single-block BLAKE2b compressions; one compression is
+        # ~12 rounds x 8 G x ~36 uint32 lane-ops on (hi,lo) pairs
+        lane_ops = 2 * n * 12 * 8 * 36
+        compute_ms = lane_ops / 0.9e12 * 1000
+        mem_ms = (3 * n * 64) / (bw * 1e9) * 1000  # digests r+w per level
+        sol = max(compute_ms, mem_ms)
+        out["merkle_2p18_pct_sol"] = round(100 * sol / dev_ms, 1)
+    return out
+
+
 def bench_rpsss() -> dict:
     from zk_stark_tpu.field import Field
     from zk_stark_tpu.models.rpsss import RPSSS
@@ -285,6 +347,8 @@ def bench_chain() -> dict:
     from zk_stark_tpu.models.rescue_chain import make_chain_stark
     from zk_stark_tpu.proof_stream import ProofStream
 
+    from zk_stark_tpu.utils.profiling import StageTimer
+
     field = Field()
     chain_len = 3200 if os.environ.get("BENCH_CHAIN_FULL") else 512
     model, stark = make_chain_stark(field, chain_len)
@@ -299,15 +363,25 @@ def bench_chain() -> dict:
     proof = stark.prove(trace, air, boundary, ProofStream(field))
     cold_ms = (time.time() - t0) * 1000
     log(f"chain warmup prove: {cold_ms:.0f} ms")
+    timer = StageTimer()
+    stark.timer = timer
     t0 = time.time()
     proof = stark.prove(trace, air, boundary, ProofStream(field))
     prove_ms = (time.time() - t0) * 1000
+    stark.timer = None
+    log("chain stage breakdown:\n" + timer.report())
+    t0 = time.time()
     stark.verify(air, boundary, ProofStream.deserialize(proof, field))
+    verify_ms = (time.time() - t0) * 1000
     key = f"chain{chain_len}_fri_2p{stark.fri.domain_length.bit_length() - 1}"
     return {
         f"{key}_prove_ms": round(prove_ms, 1),
         f"{key}_prove_cold_ms": round(cold_ms, 1),
+        f"{key}_verify_ms": round(verify_ms, 1),
         f"{key}_proof_bytes": len(proof),
+        f"{key}_stages_ms": {
+            k: round(v * 1000, 1) for k, v in timer.totals.items()
+        },
     }
 
 
@@ -327,6 +401,11 @@ def main() -> None:
     log(f"fold: {extras}")
     extras.update(bench_rescue_batch())
     log(f"rescue: {extras}")
+    try:
+        extras.update(bench_merkle_2p18())
+        log(f"merkle: {extras}")
+    except Exception as e:  # best-effort (device path needs an accelerator)
+        log(f"merkle bench failed: {e!r}")
     if not os.environ.get("BENCH_SKIP_CHAIN"):
         try:
             extras.update(bench_chain())

@@ -182,14 +182,15 @@ class FRI:
         proof_stream: ProofStream,
         codeword_canon=None,
     ):
-        """(ref: fri.rs:115-172).  Returns list of (canonical limbs, tree).
+        """(ref: fri.rs:115-172).  Returns the list of per-round codeword
+        trees (merkle.DeviceMerkleTree / merkle.HostCodewordTree).
 
-        Codewords stay as canonical uint32 limb arrays on the host side;
-        Merkle layers are built by the native runtime (threaded C++ hashing)
-        with a pure-Python fallback.  Each round is a single fused device
-        dispatch (fold + canonical conversion); ``codeword_canon`` lets the
-        caller supply the initial round's canonical form to avoid an extra
-        round trip.
+        Each round is a single fused device dispatch (fold + canonical
+        conversion); ``codeword_canon`` lets the caller supply the initial
+        round's canonical form to avoid an extra conversion.  On
+        accelerators the Merkle trees hash on device and only the 64-byte
+        root crosses to the host per round; queried values/paths are
+        gathered later.
         """
         p = self.field.order
         omega, offset = self.omega, self.offset
@@ -206,19 +207,18 @@ class FRI:
                 "error in commit: omega does not have the right order"
             )
             if codeword_canon is None:
-                codeword_canon = L.mont_to_canonical_np(cw_dev)
-            limbs = np.asarray(codeword_canon)
-            tree = merkle.tree_from_canonical_limbs(limbs)
+                codeword_canon = L._from_mont_jit(cw_dev)
+            tree = merkle.tree_for_codeword(codeword_canon)
             proof_stream.push(Root(tree.root))
 
             if r == num_rounds - 1:
-                last = (limbs, tree)
+                last = tree
                 break
 
             alpha = self.field.sample(
                 proof_stream.fiat_shamir_prover(PROOF_BYTES)
             ).value
-            committed.append((limbs, tree))
+            committed.append(tree)
 
             ao = L.int_to_mont(alpha * pow(offset, -1, p) % p)
             invpows = powers_mont(pow(omega, -1, p), n // 2)
@@ -228,8 +228,7 @@ class FRI:
             omega = omega * omega % p
             offset = offset * offset % p
 
-        last_ints = tuple(int(v) for v in L.limbs_to_ints(last[0]))
-        proof_stream.push(Codeword(last_ints))
+        proof_stream.push(Codeword(tuple(last.all_values())))
         committed.append(last)
         return committed
 
@@ -241,26 +240,23 @@ class FRI:
         proof_stream: ProofStream,
     ) -> list[int]:
         """(ref: fri.rs:174-208)"""
-        cur_limbs, cur_tree = current
-        nxt_limbs, nxt_tree = nxt
-        half = len(cur_limbs) // 2
+        half = current.n // 2
         indices_a = list(indices_c)
         indices_b = [i + half for i in indices_c]
 
+        a_vals = current.values_at(indices_a)
+        b_vals = current.values_at(indices_b)
+        c_vals = nxt.values_at(indices_c)
         for s in range(self.num_colinearity_tests):
-            proof_stream.push(
-                Leafs(
-                    (
-                        L.row_to_int(cur_limbs[indices_a[s]]),
-                        L.row_to_int(cur_limbs[indices_b[s]]),
-                        L.row_to_int(nxt_limbs[indices_c[s]]),
-                    )
-                )
-            )
+            proof_stream.push(Leafs((a_vals[s], b_vals[s], c_vals[s])))
+
+        a_paths = current.paths(indices_a)
+        b_paths = current.paths(indices_b)
+        c_paths = nxt.paths(indices_c)
         for s in range(self.num_colinearity_tests):
-            proof_stream.push(Path(tuple(cur_tree.open(indices_a[s]))))
-            proof_stream.push(Path(tuple(cur_tree.open(indices_b[s]))))
-            proof_stream.push(Path(tuple(nxt_tree.open(indices_c[s]))))
+            proof_stream.push(Path(tuple(a_paths[s])))
+            proof_stream.push(Path(tuple(b_paths[s])))
+            proof_stream.push(Path(tuple(c_paths[s])))
 
         return indices_a + indices_b
 
@@ -278,15 +274,15 @@ class FRI:
 
         top_level_indices = self.sample_indices(
             proof_stream.fiat_shamir_prover(PROOF_BYTES),
-            len(committed[1][0]),
-            len(committed[-1][0]),
+            committed[1].n,
+            committed[-1].n,
             self.num_colinearity_tests,
         )
         indices = list(top_level_indices)
 
         for i in range(len(committed) - 1):
             cur = committed[i]
-            indices = [idx % (len(cur[0]) // 2) for idx in indices]
+            indices = [idx % (cur.n // 2) for idx in indices]
             self.query(cur, committed[i + 1], indices, proof_stream)
 
         return top_level_indices

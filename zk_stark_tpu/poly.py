@@ -155,7 +155,22 @@ class Polynomial:
 
     @staticmethod
     def test_colinearity(field: Field, points: Sequence[tuple[int, int]]) -> bool:
-        """Degree-1 check via interpolation (ref: polynomial.rs:161-177)."""
+        """Degree-1 check via interpolation (ref: polynomial.rs:161-177).
+
+        Fast path for the 3-point case (every FRI colinearity test): the
+        interpolating quadratic has degree exactly 1 iff the cross-form
+        determinant ``y0(x1-x2) + y1(x2-x0) + y2(x0-x1)`` vanishes (no
+        quadratic term) and the values are not all equal (nonzero slope).
+        Equivalent to interpolate-then-degree but needs zero inversions.
+        Degenerate domains (repeated x) fall through to interpolation so
+        error behavior matches the reference exactly.
+        """
+        p = field.order
+        if len(points) == 3:
+            (x0, y0), (x1, y1), (x2, y2) = points
+            if len({x0 % p, x1 % p, x2 % p}) == 3:
+                det = (y0 * (x1 - x2) + y1 * (x2 - x0) + y2 * (x0 - x1)) % p
+                return det == 0 and (y0 - y1) % p != 0
         domain = [x for x, _ in points]
         values = [y for _, y in points]
         poly = Polynomial.interpolate_domain(field, domain, values)

@@ -430,18 +430,16 @@ class Stark:
             bq_canon, rand_canon, tq_stack, bq_stack, tq_degs = seg1(
                 trace_cols, bi_arrs, bz_arrs, rand_arr
             )
-            bq_canon = np.asarray(bq_canon)
-            rand_canon = np.asarray(rand_canon)
             tq_degrees = [int(d) for d in np.asarray(tq_degs)]
 
         # commit to boundary quotients + randomizer (stark.rs:362-386,422-445)
         with self._stage("commit_roots"):
             boundary_quotient_trees = []
             for s in range(self.num_registers):
-                tree = merkle.tree_from_canonical_limbs(bq_canon[s])
+                tree = merkle.tree_for_codeword(bq_canon[s])
                 boundary_quotient_trees.append(tree)
                 ps.push(Root(tree.root))
-            randomizer_tree = merkle.tree_from_canonical_limbs(rand_canon)
+            randomizer_tree = merkle.tree_for_codeword(rand_canon)
             ps.push(Root(randomizer_tree.root))
 
         # weights + degree sanity check (stark.rs:447-464)
@@ -485,7 +483,6 @@ class Stark:
         with self._stage("segment2"):
             weights_arr = L.ints_to_mont(weights)
             combined_dev, combined_canon = seg2(weights_arr, tuple(term_arrs))
-            combined_canon = np.asarray(combined_canon)
 
         # FRI low-degree proof (stark.rs:522)
         with self._stage("fri_prove"):
@@ -504,12 +501,16 @@ class Stark:
         with self._stage("openings"):
             for s in range(self.num_registers):
                 tree = boundary_quotient_trees[s]
-                for i in quadrupled_indices:
-                    ps.push(Value(L.row_to_int(bq_canon[s][i])))
-                    ps.push(Path(tuple(tree.open(i))))
-            for i in quadrupled_indices:
-                ps.push(Value(L.row_to_int(rand_canon[i])))
-                ps.push(Path(tuple(randomizer_tree.open(i))))
+                vals = tree.values_at(quadrupled_indices)
+                paths = tree.paths(quadrupled_indices)
+                for j, i in enumerate(quadrupled_indices):
+                    ps.push(Value(vals[j]))
+                    ps.push(Path(tuple(paths[j])))
+            vals = randomizer_tree.values_at(quadrupled_indices)
+            paths = randomizer_tree.paths(quadrupled_indices)
+            for j, i in enumerate(quadrupled_indices):
+                ps.push(Value(vals[j]))
+                ps.push(Path(tuple(paths[j])))
 
         with self._stage("serialize"):
             return ps.serialize()
