@@ -38,6 +38,41 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+_SYNC_JIT = None
+#: measured dispatch+fetch round-trip latency, filled by main()
+_RTT_MS = 0.0
+
+
+def dsync(x) -> None:
+    """Force device completion.
+
+    ``block_until_ready`` returns EARLY on the axon remote transport
+    (measured: 5 dispatched 2^18 hash kernels 'ready' in 0.2 ms, the
+    following host fetch then blocked 74 s), so the only reliable sync is a
+    tiny host fetch.  Costs one ~28 ms round trip — callers amortize over
+    reps and subtract ``_RTT_MS``.
+    """
+    global _SYNC_JIT
+    import numpy as np
+
+    if _SYNC_JIT is None:
+        _SYNC_JIT = jax.jit(lambda a: a.reshape(-1)[:4])
+    np.asarray(_SYNC_JIT(x))
+
+
+def _measure_rtt() -> float:
+    import jax.numpy as jnp
+
+    x = jnp.zeros((128,), jnp.uint32)
+    dsync(x)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        dsync(x)
+        best = min(best, time.time() - t0)
+    return best * 1000
+
+
 def bench_hbm_bw() -> dict:
     """Measured HBM bandwidth via a while-loop streaming kernel.
 
@@ -58,13 +93,13 @@ def bench_hbm_bw() -> dict:
     f = jax.jit(lambda a: jax.lax.fori_loop(0, iters, body, a))
     y = jnp.zeros((n,), dtype=jnp.uint32)
     y = f(y)
-    y.block_until_ready()
+    dsync(y)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         y = f(y)
-        y.block_until_ready()
-        best = min(best, time.time() - t0)
+        dsync(y)
+        best = min(best, time.time() - t0 - _RTT_MS / 1000)
     gbps = iters * 2 * 4 * n / best / 1e9  # read + write per iteration
     return {"hbm_bw_gbps": round(gbps, 1)}
 
@@ -132,13 +167,13 @@ def bench_ntt_2p20() -> dict:
         log(f"pallas NTT unavailable ({e!r}); using jnp four-step")
         y = ntt_mont(x, root)
 
-    y.block_until_ready()  # compile
+    dsync(y)  # compile
     reps = 10
     t0 = time.time()
     for _ in range(reps):
         y = transform(y, root)
-    y.block_until_ready()
-    dt = (time.time() - t0) / reps
+    dsync(y)
+    dt = (time.time() - t0 - _RTT_MS / 1000) / reps
     butterflies = (n // 2) * logn
     out = {
         "ntt_2p20_ms": round(dt * 1000, 3),
@@ -170,13 +205,13 @@ def bench_rescue_batch() -> dict:
     b = 1 << 14
     inputs = L.ints_to_mont(list(range(b)))
     out = rp.hash_batch_device(inputs)
-    out.block_until_ready()  # compile
+    dsync(out)  # compile
     reps = 5
     t0 = time.time()
     for _ in range(reps):
         out = rp.hash_batch_device(inputs)
-    out.block_until_ready()
-    dt = (time.time() - t0) / reps
+    dsync(out)
+    dt = (time.time() - t0 - _RTT_MS / 1000) / reps
     out = {
         "rescue_hash_2p14_ms": round(dt * 1000, 3),
         "rescue_hashes_per_s": round(b / dt),
@@ -220,13 +255,13 @@ def bench_fold_2p20() -> dict:
     two_inv = L.int_to_mont(pow(2, -1, P))
     kern = _fold_round_kernel(n)
     folded, canon = kern(cw, invpows, ao, two_inv)
-    folded.block_until_ready()
+    dsync(canon)
     reps = 20
     t0 = time.time()
     for _ in range(reps):
         folded, canon = kern(cw, invpows, ao, two_inv)
-    canon.block_until_ready()
-    dt = (time.time() - t0) / reps
+    dsync(canon)
+    dt = (time.time() - t0 - _RTT_MS / 1000) / reps
     out = {"fold_2p20_ms": round(dt * 1000, 3)}
     bw = _BW.get("hbm_bw_gbps")
     if bw:
@@ -372,12 +407,16 @@ def bench_chain() -> dict:
     log("chain stage breakdown:\n" + timer.report())
     t0 = time.time()
     stark.verify(air, boundary, ProofStream.deserialize(proof, field))
+    verify_cold_ms = (time.time() - t0) * 1000
+    t0 = time.time()
+    stark.verify(air, boundary, ProofStream.deserialize(proof, field))
     verify_ms = (time.time() - t0) * 1000
     key = f"chain{chain_len}_fri_2p{stark.fri.domain_length.bit_length() - 1}"
     return {
         f"{key}_prove_ms": round(prove_ms, 1),
         f"{key}_prove_cold_ms": round(cold_ms, 1),
         f"{key}_verify_ms": round(verify_ms, 1),
+        f"{key}_verify_cold_ms": round(verify_cold_ms, 1),
         f"{key}_proof_bytes": len(proof),
         f"{key}_stages_ms": {
             k: round(v * 1000, 1) for k, v in timer.totals.items()
@@ -390,8 +429,12 @@ _BW: dict = {}
 
 
 def main() -> None:
+    global _RTT_MS
     log(f"devices: {jax.devices()}")
     extras = {}
+    _RTT_MS = _measure_rtt()
+    extras["dispatch_rtt_ms"] = round(_RTT_MS, 1)
+    log(f"dispatch+fetch rtt: {_RTT_MS:.1f} ms")
     _BW.update(bench_hbm_bw())
     extras.update(_BW)
     log(f"hbm: {extras}")

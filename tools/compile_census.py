@@ -35,11 +35,10 @@ class Census(logging.Handler):
 
     def emit(self, record):
         msg = record.getMessage()
-        m = re.search(r"Finished (?:XLA compilation|tracing \+ transforming) of (\S+)", msg)
         if "Compiling" in msg or "compilation" in msg:
-            m2 = re.search(r"Compiling (\S+)", msg)
-            if m2:
-                self.events.append(m2.group(1))
+            m = re.search(r"Compiling (\S+)", msg)
+            if m:
+                self.events.append(m.group(1))
 
 
 def main() -> None:

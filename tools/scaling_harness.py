@@ -115,9 +115,9 @@ def kernel_sweep(logn: int, device_counts, ici_gbps: float) -> dict:
             "a2a_bytes_per_device": a2a_bytes_per_dev,
             "projected_ici_ms": round(ici_ms, 3),
         }
-        if ref is None:
-            ref = entry
-        else:
+        if d == 1:
+            ref = entry  # baseline must be the actual single-device run
+        elif ref is not None:
             # projected multi-chip efficiency: local work scales 1/D, the
             # collective is the only added cost (CPU-mesh wall time cannot
             # show this — all virtual devices share one socket)
@@ -130,7 +130,7 @@ def kernel_sweep(logn: int, device_counts, ici_gbps: float) -> dict:
     return out
 
 
-def full_prove(chain_length: int, n_dev: int) -> dict:
+def full_prove(chain_length: int, n_dev: int, byte_identity: bool = False) -> dict:
     from zk_stark_tpu.field import Field
     from zk_stark_tpu.models.rescue_chain import make_chain_stark
     from zk_stark_tpu.parallel.engine import dist_engine
@@ -142,6 +142,20 @@ def full_prove(chain_length: int, n_dev: int) -> dict:
     model_d, stark_d = make_chain_stark(field, chain_length)
     stark_d.engine = dist_engine(n_dev)
     stark_d.fri.engine = stark_d.engine
+    if byte_identity:
+        # deterministic randomizers so the single-device reference proof
+        # is bit-comparable
+        import hashlib as _h
+
+        counter = [0]
+
+        def _rng(k: int) -> bytes:
+            counter[0] += 1
+            return _h.blake2b(
+                b"scaling-harness-rng" + counter[0].to_bytes(8, "big")
+            ).digest()[:k]
+
+        stark_d._rng = _rng
 
     air = model_d.air(stark_d.omicron, stark_d.omicron_domain_length)
     x = 123456789
@@ -166,7 +180,7 @@ def full_prove(chain_length: int, n_dev: int) -> dict:
     warm_ms = (time.time() - t0) * 1000
 
     stark_d.verify(air, boundary, ProofStream.deserialize(proof, field))
-    return {
+    out = {
         "chain_length": chain_length,
         "fri_domain_log2": stark_d.fri.domain_length.bit_length() - 1,
         "n_devices": n_dev,
@@ -177,6 +191,38 @@ def full_prove(chain_length: int, n_dev: int) -> dict:
         "stages_ms": {k: round(v * 1000, 1) for k, v in timer.totals.items()},
         "verified": True,
     }
+    if byte_identity:
+        # same deterministic rng, single-device engine: bytes must match
+        from zk_stark_tpu.parallel.engine import Engine
+
+        model_1, stark_1 = make_chain_stark(field, chain_length)
+        stark_1.engine = Engine()
+        stark_1.fri.engine = stark_1.engine
+        import hashlib as _h
+
+        # fresh, identical deterministic rng streams for both runs
+        c1, c2 = [0], [0]
+
+        def mk(counter):
+            def f(k: int) -> bytes:
+                counter[0] += 1
+                return _h.blake2b(
+                    b"scaling-harness-rng" + counter[0].to_bytes(8, "big")
+                ).digest()[:k]
+
+            return f
+
+        stark_d._rng = mk(c1)
+        stark_1._rng = mk(c2)
+        air1 = model_1.air(stark_1.omicron, stark_1.omicron_domain_length)
+        proof_d = stark_d.prove(trace, air, boundary, ProofStream(field))
+        t0 = time.time()
+        proof_1 = stark_1.prove(trace, air1, boundary, ProofStream(field))
+        out["single_device_prove_ms"] = round((time.time() - t0) * 1000, 1)
+        out["byte_identical"] = proof_d == proof_1
+        log(f"sharded/single byte identity: {out['byte_identical']}")
+        assert out["byte_identical"], "sharded proof diverged from single!"
+    return out
 
 
 def main() -> None:
@@ -187,10 +233,15 @@ def main() -> None:
                     help="assumed per-chip ICI bandwidth for projection")
     ap.add_argument("--xl", action="store_true",
                     help="full prove at FRI 2^22 (chain 12800)")
+    ap.add_argument("--chain", type=int, default=3200,
+                    help="chain length for the sharded prove")
+    ap.add_argument("--byte-identity", action="store_true",
+                    help="re-prove on 1 device with a deterministic rng "
+                         "and assert byte-identical proofs")
     ap.add_argument("--skip-prove", action="store_true")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_r02.json"))
+        "SCALING_r03.json"))
     args = ap.parse_args()
 
     result = {
@@ -207,8 +258,10 @@ def main() -> None:
         ),
     }
     if not args.skip_prove:
-        chain = 12800 if args.xl else 3200
-        result["sharded_prove"] = full_prove(chain, 8)
+        chain = 12800 if args.xl else args.chain
+        result["sharded_prove"] = full_prove(
+            chain, 8, byte_identity=args.byte_identity
+        )
 
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

@@ -51,7 +51,15 @@ def _fold_kernel(n: int):
 def _fold_round_kernel(n: int, engine=None):
     from .parallel.engine import DEFAULT
 
-    return _fold_round_kernel_cached(n, engine if engine is not None else DEFAULT)
+    eng = engine if engine is not None else DEFAULT
+    if not eng.is_distributed:
+        from .ops import fold_pallas
+
+        if fold_pallas.fold_supported(n):
+            # single-chip TPU: the fused Pallas round (limb-plane layout,
+            # VMEM-resident temporaries) — bit-exact vs the jnp kernel
+            return fold_pallas.fold_round_pallas(n)
+    return _fold_round_kernel_cached(n, eng)
 
 
 @functools.lru_cache(maxsize=None)
@@ -239,26 +247,33 @@ class FRI:
         indices_c: list[int],
         proof_stream: ProofStream,
     ) -> list[int]:
-        """(ref: fri.rs:174-208)"""
+        """(ref: fri.rs:174-208).  Single-round form kept for API parity;
+        :meth:`prove` batches every round's gathers into one device fetch."""
         half = current.n // 2
         indices_a = list(indices_c)
         indices_b = [i + half for i in indices_c]
+        (ab_vals, ab_paths), (c_vals, c_paths) = merkle.open_many(
+            [(current, indices_a + indices_b), (nxt, indices_c)]
+        )
+        self._push_round_queries(
+            proof_stream, ab_vals, ab_paths, c_vals, c_paths, len(indices_c)
+        )
+        return indices_a + indices_b
 
-        a_vals = current.values_at(indices_a)
-        b_vals = current.values_at(indices_b)
-        c_vals = nxt.values_at(indices_c)
-        for s in range(self.num_colinearity_tests):
+    @staticmethod
+    def _push_round_queries(
+        proof_stream, ab_vals, ab_paths, c_vals, c_paths, k: int
+    ) -> None:
+        """Transcript pushes for one query round: k Leafs then k*(3 Paths),
+        byte-identical to the reference order (ref: fri.rs:189-206)."""
+        a_vals, b_vals = ab_vals[:k], ab_vals[k:]
+        a_paths, b_paths = ab_paths[:k], ab_paths[k:]
+        for s in range(k):
             proof_stream.push(Leafs((a_vals[s], b_vals[s], c_vals[s])))
-
-        a_paths = current.paths(indices_a)
-        b_paths = current.paths(indices_b)
-        c_paths = nxt.paths(indices_c)
-        for s in range(self.num_colinearity_tests):
+        for s in range(k):
             proof_stream.push(Path(tuple(a_paths[s])))
             proof_stream.push(Path(tuple(b_paths[s])))
             proof_stream.push(Path(tuple(c_paths[s])))
-
-        return indices_a + indices_b
 
     def prove(
         self,
@@ -280,10 +295,24 @@ class FRI:
         )
         indices = list(top_level_indices)
 
+        # Gather every round's queried values + sibling paths in ONE device
+        # dispatch + ONE host fetch (the index derivation is pure host math,
+        # and the query pushes do not feed any further Fiat-Shamir draw).
+        specs = []
         for i in range(len(committed) - 1):
             cur = committed[i]
-            indices = [idx % (cur.n // 2) for idx in indices]
-            self.query(cur, committed[i + 1], indices, proof_stream)
+            half = cur.n // 2
+            indices = [idx % half for idx in indices]
+            specs.append((cur, indices + [x + half for x in indices]))
+            specs.append((committed[i + 1], list(indices)))
+        opened = merkle.open_many(specs)
+        for i in range(len(committed) - 1):
+            (ab_vals, ab_paths) = opened[2 * i]
+            (c_vals, c_paths) = opened[2 * i + 1]
+            self._push_round_queries(
+                proof_stream, ab_vals, ab_paths, c_vals, c_paths,
+                self.num_colinearity_tests,
+            )
 
         return top_level_indices
 

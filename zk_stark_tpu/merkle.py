@@ -31,11 +31,14 @@ class DeviceMerkleTree:
     """Merkle tree hashed on device (ops.blake2b_dev), byte-identical to the
     host trees.
 
-    Levels of digest *words* stay on device; only the tiny top of the tree
-    (<= ``cutoff`` nodes) moves to the host.  Queried values and sibling
-    paths are gathered on device, so committing a 2^20 codeword transfers
-    64 bytes (the root) instead of 32 MB (the canonical array) — and the
-    ~2n BLAKE2b compressions run as batched VPU work instead of host loops.
+    Levels of packed digest words (uint32[2, 8, m]) stay on device; only the
+    tiny top of the tree (<= ``cutoff`` nodes) moves to the host — in ONE
+    transfer, because over the remote-TPU transport every dispatch+fetch
+    round trip costs ~28 ms regardless of size.  Queried values and sibling
+    paths are gathered on device and fetched batched (see
+    :func:`open_many`), so committing a 2^20 codeword moves ~16 KB to the
+    host instead of 32 MB — and the ~2n BLAKE2b compressions run as a Pallas
+    kernel instead of host loops.
 
     ``canon_dev`` is the canonical (non-Montgomery) uint32[n, 8] limb array;
     the tree keeps a reference to answer value queries at opened indices.
@@ -43,7 +46,7 @@ class DeviceMerkleTree:
 
     __slots__ = ("n", "canon_dev", "_dev_levels", "_host_layers", "_nlev")
 
-    def __init__(self, canon_dev, cutoff: int = 256):
+    def __init__(self, canon_dev, cutoff: int = 256, _levels=None, _top=None):
         from .ops import blake2b_dev as B
 
         n = int(canon_dev.shape[0])
@@ -52,12 +55,15 @@ class DeviceMerkleTree:
         self.n = n
         self.canon_dev = canon_dev
 
-        # ONE device dispatch builds every level down to the cutoff
-        self._dev_levels = _tree_builder(n, cutoff)(canon_dev)
-        self._nlev = len(self._dev_levels) - 1  # levels queried for siblings
+        if _levels is None:
+            # ONE device dispatch builds every level down to the cutoff
+            _levels = _tree_builder(n, cutoff)(canon_dev)
+        self._dev_levels = _levels
+        self._nlev = len(_levels) - 1  # levels queried for siblings
 
-        hhi, hlo = self._dev_levels[-1]
-        mat = B.words_to_digest_np(hhi, hlo)
+        if _top is None:
+            _top = np.asarray(_levels[-1])  # the single host fetch
+        mat = B.packed_to_digest_np(_top)
         level = [mat[i].tobytes() for i in range(mat.shape[0])]
         host_layers = [level]
         while len(level) > 1:
@@ -72,55 +78,18 @@ class DeviceMerkleTree:
     def root(self) -> bytes:
         return self._host_layers[-1][0]
 
+    def openings(self, indices: Sequence[int]):
+        """(values, paths) at ``indices`` — one dispatch, one fetch."""
+        return open_many([(self, indices)])[0]
+
     def paths(self, indices: Sequence[int]) -> list[list[bytes]]:
-        """Batched openings: ONE device gather dispatch for all sibling
-        digests below the cutoff; tiny host lookups above it."""
-        import jax.numpy as jnp
-
-        from .ops import blake2b_dev as B
-
-        k = len(indices)
-        if self._nlev:
-            sibs = jnp.asarray(
-                [
-                    [(i >> lvl) ^ 1 for i in indices]
-                    for lvl in range(self._nlev)
-                ],
-                dtype=jnp.int32,
-            )
-            ghi, glo = _path_gather(self.n, self._nlev, k)(
-                tuple(self._dev_levels[:-1]), sibs
-            )
-            mat = B.words_to_digest_np(ghi, glo)  # [nlev * k, 64]
-            per_level_bytes = [
-                [mat[lvl * k + j].tobytes() for j in range(k)]
-                for lvl in range(self._nlev)
-            ]
-        else:
-            per_level_bytes = []
-
-        out = []
-        for j, index in enumerate(indices):
-            path = [per_level_bytes[lvl][j] for lvl in range(self._nlev)]
-            idx = index >> self._nlev
-            for layer in self._host_layers[:-1]:
-                path.append(layer[idx ^ 1])
-                idx >>= 1
-            out.append(path)
-        return out
+        return self.openings(indices)[1]
 
     def open(self, index: int) -> list[bytes]:
         return self.paths([index])[0]
 
     def values_at(self, indices: Sequence[int]) -> list[int]:
-        import jax.numpy as jnp
-
-        from .ops.limbs import limbs_to_ints
-
-        rows = np.asarray(
-            self.canon_dev[jnp.asarray(list(indices), dtype=jnp.int32)]
-        )
-        return [int(v) for v in limbs_to_ints(rows)]
+        return self.openings(indices)[0]
 
     def all_values(self) -> list[int]:
         from .ops.limbs import limbs_to_ints
@@ -130,45 +99,173 @@ class DeviceMerkleTree:
 
 import functools
 
+import jax
+
 
 @functools.lru_cache(maxsize=None)
 def _tree_builder(n: int, cutoff: int):
-    """Jitted full tree build: canonical limbs [n, 8] -> tuple of digest-word
-    levels ((hhi, hlo) of [8, n], [8, n/2], ..., [8, cutoff])."""
-    import jax
-
+    """Jitted full tree build: canonical limbs [n, 8] -> tuple of packed
+    digest-word levels ([2, 8, n], [2, 8, n/2], ..., [2, 8, cutoff])."""
     from .ops import blake2b_dev as B
 
     def build(canon):
-        hhi, hlo = B._leaf_kernel(canon)
-        levels = [(hhi, hlo)]
+        d = B.leaf_digests_packed(canon)
+        levels = [d]
         m = n
         while m > cutoff:
-            hhi, hlo = B._node_kernel(hhi, hlo)
+            d = B.node_digests_packed(d)
             m //= 2
-            levels.append((hhi, hlo))
+            levels.append(d)
         return tuple(levels)
 
     return jax.jit(build)
 
 
+def build_device_trees(canons: Sequence, cutoff: int = 256, extra=None):
+    """Build several device trees with ONE top-of-tree host fetch.
+
+    Each tree's levels are built by its own (cached) jitted dispatch; the
+    cutoff levels are then concatenated on device and fetched in a single
+    transfer, so committing m+1 codewords costs one round trip instead of
+    m+1 (the prover's boundary-quotient + randomizer commit,
+    ref: stark.rs:367-386/422-445).
+
+    ``extra``: optional device array piggy-backed onto the same fetch
+    (e.g. the packed quotient degrees); returns ``(trees, extra_np)`` when
+    given, else just the tree list.
+    """
+    all_levels = []
+    for canon in canons:
+        n = int(canon.shape[0])
+        all_levels.append(_tree_builder(n, min(cutoff, n))(canon))
+    parts = [lv[-1].reshape(-1) for lv in all_levels]
+    if extra is not None:
+        parts.append(extra.reshape(-1))
+    flat = np.asarray(_concat_flat_jit()(tuple(parts)))  # single host fetch
+    out, off = [], 0
+    for canon, levels in zip(canons, all_levels):
+        c = int(levels[-1].shape[2])
+        top = flat[off : off + 16 * c].reshape(2, 8, c)
+        off += 16 * c
+        out.append(
+            DeviceMerkleTree(canon, cutoff=cutoff, _levels=levels, _top=top)
+        )
+    if extra is not None:
+        return out, flat[off:].reshape(extra.shape)
+    return out
+
+
 @functools.lru_cache(maxsize=None)
-def _path_gather(n: int, nlev: int, k: int):
-    """Jitted batched sibling gather: levels + sibs [nlev, k] ->
-    (hhi, hlo) of [8, nlev * k] (level-major)."""
-    import jax
+def _concat_flat_jit():
     import jax.numpy as jnp
 
-    def gather(levels, sibs):
-        ghi = jnp.concatenate(
-            [levels[l][0][:, sibs[l]] for l in range(nlev)], axis=1
-        )
-        glo = jnp.concatenate(
-            [levels[l][1][:, sibs[l]] for l in range(nlev)], axis=1
-        )
-        return ghi, glo
+    return jax.jit(
+        lambda parts: parts[0]
+        if len(parts) == 1
+        else jnp.concatenate(parts)
+    )
+
+
+# -- batched openings ---------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _open_gather_jit():
+    """One jitted gather for a whole batch of (tree, indices) queries.
+
+    Input: tuple over trees of (canon [n,8], levels tuple of [2,8,m],
+    sibs [nlev,k] int32, idx [k] int32).  Output: one flat uint32 vector —
+    per tree, the k*8 gathered canonical limbs followed by the level-major
+    sibling digest words (2*8*k per level).  jax.jit caches retraces per
+    input structure, so each prover configuration compiles this once.
+    """
+    import jax.numpy as jnp
+
+    def gather(args):
+        segs = []
+        for canon, levels, sibs, idx in args:
+            segs.append(canon[idx].reshape(-1))
+            for lvl in range(len(levels) - 1):
+                segs.append(levels[lvl][:, :, sibs[lvl]].reshape(-1))
+        return jnp.concatenate(segs) if segs else jnp.zeros((0,), jnp.uint32)
 
     return jax.jit(gather)
+
+
+def open_many(specs) -> list[tuple[list[int], list[list[bytes]]]]:
+    """Open many (tree, indices) queries with minimal host round trips.
+
+    Device trees batch into ONE gather dispatch + ONE fetch for the whole
+    list; host trees answer from host memory.  Returns, per spec, the
+    (values, sibling-paths) the proof stream pushes (ref: fri.rs:174-208,
+    stark.rs:546-560).
+    """
+    import jax.numpy as jnp
+
+    from .ops import blake2b_dev as B
+    from .ops.limbs import limbs_to_ints
+
+    dev_specs = [
+        (i, t, list(idx))
+        for i, (t, idx) in enumerate(specs)
+        if isinstance(t, DeviceMerkleTree)
+    ]
+    results: dict[int, tuple] = {}
+
+    if dev_specs:
+        args = []
+        for _, tree, indices in dev_specs:
+            k = len(indices)
+            sibs = np.asarray(
+                [
+                    [(i >> lvl) ^ 1 for i in indices]
+                    for lvl in range(tree._nlev)
+                ],
+                dtype=np.int32,
+            ).reshape(tree._nlev, k)
+            args.append(
+                (
+                    tree.canon_dev,
+                    tree._dev_levels,
+                    jnp.asarray(sibs),
+                    jnp.asarray(np.asarray(indices, dtype=np.int32)),
+                )
+            )
+        flat = np.asarray(_open_gather_jit()(tuple(args)))  # single fetch
+
+        off = 0
+        for (i, tree, indices), _arg in zip(dev_specs, args):
+            k = len(indices)
+            rows = flat[off : off + k * 8].reshape(k, 8)
+            off += k * 8
+            values = [int(v) for v in limbs_to_ints(rows)]
+            per_level_bytes = []
+            for _ in range(tree._nlev):
+                words = flat[off : off + 16 * k].reshape(2, 8, k)
+                off += 16 * k
+                mat = B.packed_to_digest_np(words)
+                per_level_bytes.append(
+                    [mat[j].tobytes() for j in range(k)]
+                )
+            paths = []
+            for j, index in enumerate(indices):
+                path = [
+                    per_level_bytes[lvl][j] for lvl in range(tree._nlev)
+                ]
+                idx = index >> tree._nlev
+                for layer in tree._host_layers[:-1]:
+                    path.append(layer[idx ^ 1])
+                    idx >>= 1
+                paths.append(path)
+            results[i] = (values, paths)
+
+    for i, (tree, indices) in enumerate(specs):
+        if i not in results:
+            results[i] = (
+                tree.values_at(list(indices)),
+                tree.paths(list(indices)),
+            )
+    return [results[i] for i in range(len(specs))]
 
 
 def _device_merkle_enabled(n: int) -> bool:
@@ -177,7 +274,16 @@ def _device_merkle_enabled(n: int) -> bool:
         return flag not in ("0", "")
     import jax
 
-    return jax.default_backend() != "cpu" and n >= 4096
+    # measured crossover (round 3, v5e over the remote transport): the host
+    # path pays a full-codeword transfer (n*32 bytes at ~60 MB/s) + threaded
+    # C++ hashing; the device path pays a fixed ~28 ms fetch round trip +
+    # the Pallas compression.  Host wins below ~2^14 leaves, device above.
+    return jax.default_backend() != "cpu" and n >= 16384
+
+
+def device_policy(n: int) -> bool:
+    """Public policy hook: True when an n-leaf codeword commits on device."""
+    return _device_merkle_enabled(n)
 
 
 class NativeMerkleTree:

@@ -34,7 +34,7 @@ from ..field import Field
 from ..ops import limbs as L
 from ..ops.ntt import powers_mont
 from ..ops.poly_ops import (
-    evaluate_many_batched,
+    evaluate_polys_shared,
     fast_coset_evaluate,
     interpolate_first_k,
 )
@@ -180,10 +180,7 @@ class RescueChainAir:
             c2 = [cws[m + j] for j in range(m)]
         else:
             coeffs = self._constant_polys()  # [2m, R, 8]
-            pts = jnp.broadcast_to(
-                point[0][None], (2 * m,) + point[0].shape
-            )
-            vals = evaluate_many_batched(coeffs, pts)  # [2m, n, 8]
+            vals = evaluate_polys_shared(coeffs, point[0])  # [2m, n, 8]
             c1 = [vals[j] for j in range(m)]
             c2 = [vals[m + j] for j in range(m)]
         return self._combine(point, c1, c2)

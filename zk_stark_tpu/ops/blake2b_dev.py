@@ -9,20 +9,25 @@ concatenation of two digests.
 Both message classes fit a single BLAKE2b compression block (decimal string
 of a < 2^128 value is <= 39 bytes; two digests are exactly 128 bytes), so the
 whole primitive is one compression function, vectorized elementwise over the
-batch on the VPU:
+batch:
 
 * 64-bit words are (hi, lo) pairs of uint32 arrays — adds carry via an
   unsigned compare, rotations are shift/or pairs;
-* the 12 rounds run under ``lax.fori_loop`` with the SIGMA schedule applied
-  via dynamic indexing into the stacked [16, ...] message words, keeping the
-  compiled program small (CLAUDE.md: never unrolled chains);
-* decimal encoding runs on device: 39 short-division-by-10 steps under
-  ``lax.scan`` over the 8x16-bit canonical limbs, then a take_along_axis
-  shift left-aligns the significant digits into the message block.
+* on TPU the compression runs as a **Pallas kernel**: message words live as
+  16 lane-vectors in VMEM and the 12 rounds are fully unrolled with the
+  static SIGMA schedule, so the ~3.5k uint32 ops per element never touch HBM
+  between rounds (the round-2 XLA formulation measured 0.9% of
+  speed-of-light; the fori_loop+dynamic-gather variant is kept only as the
+  CPU fallback because XLA-CPU cannot compile the unrolled form in
+  reasonable time);
+* decimal encoding runs in XLA ahead of the kernel: 39 short divisions by 10
+  over the 8x16-bit canonical limbs, then a take_along_axis shift
+  left-aligns the digits into the message block.
 
-Digests stay on device as [..., 8] (hi, lo) word arrays between tree levels —
-an inner node's message words are exactly its children's digest words, so
-level reduction needs no byte shuffling at all.
+Digest levels are packed as ONE uint32[2, 8, m] array ((hi, lo) x word x
+element) so a Merkle level moves to the host in a single transfer — over the
+remote-TPU transport a dispatch+fetch round trip costs ~28 ms regardless of
+size, so minimizing fetches matters more than minimizing bytes.
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .limbs import LIMB_BITS, MASK, NLIMB
+from .limbs import LIMB_BITS, NLIMB
 
 # BLAKE2b IV (RFC 7693 §2.6).
 _IV = (
@@ -70,6 +75,9 @@ _G_ROWS = (
     (0, 5, 10, 15), (1, 6, 11, 12), (2, 7, 8, 13), (3, 4, 9, 14),
 )
 
+#: run the Pallas compression in interpreter mode (CPU parity testing)
+INTERPRET = False
+
 
 def _hi(x: int) -> np.uint32:
     return np.uint32(x >> 32)
@@ -97,15 +105,24 @@ def _ror64(h, l, r: int):
     return (h << 1) | (l >> 31), (l << 1) | (h >> 31)
 
 
-def _compress(mhi, mlo, t_hi, t_lo):
-    """One final-block BLAKE2b-512 compression, batched over trailing dims.
+def _g(vhi, vlo, rows, xh, xl, yh, yl):
+    """One BLAKE2b G mix on state lists ``vhi``/``vlo`` (in place)."""
+    a, b, c, d = rows
+    ah, al = _add64(vhi[a], vlo[a], vhi[b], vlo[b])
+    ah, al = _add64(ah, al, xh, xl)
+    dh, dl = _ror64(vhi[d] ^ ah, vlo[d] ^ al, 32)
+    ch, cl = _add64(vhi[c], vlo[c], dh, dl)
+    bh, bl = _ror64(vhi[b] ^ ch, vlo[b] ^ cl, 24)
+    ah, al = _add64(ah, al, bh, bl)
+    ah, al = _add64(ah, al, yh, yl)
+    dh, dl = _ror64(dh ^ ah, dl ^ al, 16)
+    ch, cl = _add64(ch, cl, dh, dl)
+    bh, bl = _ror64(bh ^ ch, bl ^ cl, 63)
+    vhi[a], vhi[b], vhi[c], vhi[d] = ah, bh, ch, dh
+    vlo[a], vlo[b], vlo[c], vlo[d] = al, bl, cl, dl
 
-    ``mhi``/``mlo``: uint32 [16, ...] message words; ``t_hi``/``t_lo``:
-    uint32 byte-count scalars or [...]-shaped arrays.  Returns digest words
-    (hhi, hlo) of shape [8, ...].
-    """
-    shape = mhi.shape[1:]
 
+def _init_state(shape, t_hi, t_lo):
     def bc(x):
         return jnp.broadcast_to(jnp.uint32(x), shape)
 
@@ -120,7 +137,45 @@ def _compress(mhi, mlo, t_hi, t_lo):
     vlo[12] = vlo[12] ^ jnp.broadcast_to(jnp.asarray(t_lo, jnp.uint32), shape)
     vhi[14] = vhi[14] ^ jnp.uint32(0xFFFFFFFF)
     vlo[14] = vlo[14] ^ jnp.uint32(0xFFFFFFFF)
+    return vhi, vlo
 
+
+def _finalize(vhi, vlo):
+    hhi, hlo = [], []
+    for i in range(8):
+        iv = _H0 if i == 0 else _IV[i]
+        hhi.append(jnp.uint32(_hi(iv)) ^ vhi[i] ^ vhi[i + 8])
+        hlo.append(jnp.uint32(_lo(iv)) ^ vlo[i] ^ vlo[i + 8])
+    return hhi, hlo
+
+
+def _compress(mhi, mlo, t_hi, t_lo):
+    """One final-block BLAKE2b-512 compression, batched over trailing dims.
+
+    ``mhi``/``mlo``: length-16 lists of uint32 [...] message-word arrays;
+    ``t_hi``/``t_lo``: uint32 byte-count scalars or [...]-shaped arrays.
+    Returns digest words (hhi, hlo), each a length-8 list of [...] arrays.
+    Fully unrolled (12 rounds x 8 G), all message indexing static — this is
+    the TPU/Pallas form.
+    """
+    vhi, vlo = _init_state(mhi[0].shape, t_hi, t_lo)
+    for r in range(12):
+        srow = _SIGMA[r]
+        for i, rows in enumerate(_G_ROWS):
+            xi, yi = int(srow[2 * i]), int(srow[2 * i + 1])
+            _g(vhi, vlo, rows, mhi[xi], mlo[xi], mhi[yi], mlo[yi])
+    return _finalize(vhi, vlo)
+
+
+def _compress_loop(mhi, mlo, t_hi, t_lo):
+    """Same compression with the rounds under ``lax.fori_loop`` and the
+    SIGMA schedule applied by dynamic indexing into stacked [16, ...]
+    message words.  ~100x slower at runtime on TPU but compiles in seconds
+    on XLA-CPU (the unrolled form does not) — the CPU-backend fallback.
+    """
+    mhi = jnp.stack(mhi)
+    mlo = jnp.stack(mlo)
+    vhi, vlo = _init_state(mhi.shape[1:], t_hi, t_lo)
     vhi = jnp.stack(vhi)
     vlo = jnp.stack(vlo)
     sigma = jnp.asarray(_SIGMA)
@@ -128,39 +183,96 @@ def _compress(mhi, mlo, t_hi, t_lo):
     def round_body(r, state):
         vhi, vlo = state
         srow = jax.lax.dynamic_index_in_dim(sigma, r, axis=0, keepdims=False)
-
-        def g(vhi, vlo, rows, xi, yi):
-            a, b, c, d = rows
+        vh = [vhi[i] for i in range(16)]
+        vl = [vlo[i] for i in range(16)]
+        for i, rows in enumerate(_G_ROWS):
+            xi, yi = srow[2 * i], srow[2 * i + 1]
             xh = jax.lax.dynamic_index_in_dim(mhi, xi, 0, keepdims=False)
             xl = jax.lax.dynamic_index_in_dim(mlo, xi, 0, keepdims=False)
             yh = jax.lax.dynamic_index_in_dim(mhi, yi, 0, keepdims=False)
             yl = jax.lax.dynamic_index_in_dim(mlo, yi, 0, keepdims=False)
-            ah, al = _add64(vhi[a], vlo[a], vhi[b], vlo[b])
-            ah, al = _add64(ah, al, xh, xl)
-            dh, dl = _ror64(vhi[d] ^ ah, vlo[d] ^ al, 32)
-            ch, cl = _add64(vhi[c], vlo[c], dh, dl)
-            bh, bl = _ror64(vhi[b] ^ ch, vlo[b] ^ cl, 24)
-            ah, al = _add64(ah, al, bh, bl)
-            ah, al = _add64(ah, al, yh, yl)
-            dh, dl = _ror64(dh ^ ah, dl ^ al, 16)
-            ch, cl = _add64(ch, cl, dh, dl)
-            bh, bl = _ror64(bh ^ ch, bl ^ cl, 63)
-            vhi = vhi.at[a].set(ah).at[b].set(bh).at[c].set(ch).at[d].set(dh)
-            vlo = vlo.at[a].set(al).at[b].set(bl).at[c].set(cl).at[d].set(dl)
-            return vhi, vlo
-
-        for i, rows in enumerate(_G_ROWS):
-            vhi, vlo = g(vhi, vlo, rows, srow[2 * i], srow[2 * i + 1])
-        return vhi, vlo
+            _g(vh, vl, rows, xh, xl, yh, yl)
+        return jnp.stack(vh), jnp.stack(vl)
 
     vhi, vlo = jax.lax.fori_loop(0, 12, round_body, (vhi, vlo))
+    return _finalize([vhi[i] for i in range(16)], [vlo[i] for i in range(16)])
 
-    hhi, hlo = [], []
-    for i in range(8):
-        iv = _H0 if i == 0 else _IV[i]
-        hhi.append(jnp.uint32(_hi(iv)) ^ vhi[i] ^ vhi[i + 8])
-        hlo.append(jnp.uint32(_lo(iv)) ^ vlo[i] ^ vlo[i + 8])
-    return jnp.stack(hhi), jnp.stack(hlo)
+
+def _use_pallas() -> bool:
+    return INTERPRET or jax.default_backend() == "tpu"
+
+
+# -----------------------------------------------------------------------------
+# Pallas compression kernel
+# -----------------------------------------------------------------------------
+
+#: lane-tile width for the compression grid
+_CTILE = 2048
+
+
+def _compress_pallas_kernel(mhi_ref, mlo_ref, t_ref, o_ref):
+    """Compression of one [16, ctile] message tile -> [2, 8, ctile] digests."""
+    mhi = [mhi_ref[k] for k in range(16)]
+    mlo = [mlo_ref[k] for k in range(16)]
+    hhi, hlo = _compress(mhi, mlo, jnp.uint32(0), t_ref[0])
+    for k in range(8):
+        o_ref[0, k] = hhi[k]
+        o_ref[1, k] = hlo[k]
+
+
+@functools.lru_cache(maxsize=None)
+def _compress_call(m: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ctile = min(_CTILE, m)
+    assert m % ctile == 0
+    grid = (m // ctile,)
+    mspec = pl.BlockSpec(
+        (16, ctile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    tspec = pl.BlockSpec((1, ctile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec(
+        (2, 8, ctile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+
+    def call(mhi, mlo, t_lo):
+        return pl.pallas_call(
+            _compress_pallas_kernel,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((2, 8, m), jnp.uint32),
+            in_specs=[mspec, mspec, tspec],
+            out_specs=ospec,
+            interpret=interpret,
+        )(mhi, mlo, t_lo[None, :])
+
+    return call
+
+
+def _compress_words(mhi, mlo, t_lo):
+    """Dispatch: message words [16, m] x2 + byte counts [m] -> [2, 8, m].
+
+    Pallas on TPU (or interpret mode); unrolled XLA elsewhere is too slow to
+    compile on CPU, so the CPU path uses the fori_loop form.
+    """
+    m = mhi.shape[1]
+    if _use_pallas():
+        pad = (-m) % 128  # lane-align tiny batches for the kernel grid
+        if pad:
+            mhi = jnp.pad(mhi, ((0, 0), (0, pad)))
+            mlo = jnp.pad(mlo, ((0, 0), (0, pad)))
+            t_lo = jnp.pad(t_lo, (0, pad))
+            return _compress_call(m + pad, INTERPRET)(mhi, mlo, t_lo)[
+                :, :, :m
+            ]
+        return _compress_call(m, INTERPRET)(mhi, mlo, t_lo)
+    hhi, hlo = _compress_loop(
+        [mhi[k] for k in range(16)],
+        [mlo[k] for k in range(16)],
+        jnp.uint32(0),
+        t_lo,
+    )
+    return jnp.stack([jnp.stack(hhi), jnp.stack(hlo)])
 
 
 # -----------------------------------------------------------------------------
@@ -175,99 +287,131 @@ def _decimal_digits(limbs):
     """Canonical uint32[n, 8] limbs -> right-aligned digit matrix [n, 39].
 
     Column 38 holds the units digit; leading columns are zero for small
-    values.  39 scan steps of short division by 10 over the 16-bit limbs.
+    values.  Unrolled chain of 39 short divisions by 10 over 1-D [n] limb
+    columns (constant-divisor multiply-shift after XLA folding, everything
+    fuses — the previous ``lax.scan`` over [n, 8] arrays materialized the
+    8-wide-minor carry every step and dominated leaf hashing).
     """
-
-    def step(carry_limbs, _):
-        rem = jnp.zeros_like(carry_limbs[:, 0])
-        new = []
+    cols = [limbs[:, k] for k in range(NLIMB)]
+    digits = []
+    for _ in range(_MAX_DIGITS):
+        rem = jnp.zeros_like(cols[0])
+        new = [None] * NLIMB
         for k in reversed(range(NLIMB)):
-            cur = (rem << LIMB_BITS) | carry_limbs[:, k]
+            cur = (rem << LIMB_BITS) | cols[k]
             q = cur // jnp.uint32(10)
             rem = cur - q * jnp.uint32(10)
-            new.append(q)
-        new.reverse()
-        return jnp.stack(new, axis=1), rem
-
-    _, digits = jax.lax.scan(step, limbs, None, length=_MAX_DIGITS)
+            new[k] = q
+        cols = new
+        digits.append(rem)
     # digits[i] is the 10^i digit; right-aligned means column 38 - i
-    return digits[::-1].T
+    return jnp.stack(digits[::-1], axis=1)
 
 
-def _leaf_kernel(limbs):
-    """uint32[n, 8] canonical limbs -> digest words (hhi, hlo) [8, n]."""
+def _leaf_message(limbs):
+    """uint32[n, 8] canonical limbs -> (mhi [16, n], mlo [16, n], len [n]).
+
+    Everything runs on 1-D [n] digit columns with static indexing: the
+    left-align of the decimal string is a select chain over the 39 possible
+    digit counts (a ``take_along_axis`` variable shift measured ~120 ms at
+    2^18 on TPU; the selects fuse to sub-ms).
+    """
     n = limbs.shape[0]
-    digits = _decimal_digits(limbs)  # [n, 39]
-    nz = digits != 0
-    any_nz = jnp.any(nz, axis=1)
-    first = jnp.argmax(nz, axis=1).astype(jnp.int32)
-    # value 0 encodes as "0" (one digit)
-    length = jnp.where(any_nz, _MAX_DIGITS - first, 1).astype(jnp.uint32)
-    start = (_MAX_DIGITS - length).astype(jnp.int32)
+    zero = jnp.zeros((n,), jnp.uint32)
 
-    ascii_digits = digits + jnp.uint32(ord("0"))
-    padded = jnp.concatenate(
-        [ascii_digits, jnp.zeros((n, _MAX_DIGITS + 1), jnp.uint32)], axis=1
-    )
-    idx = start[:, None] + jnp.arange(_MAX_DIGITS, dtype=jnp.int32)[None, :]
-    shifted = jnp.take_along_axis(padded, idx, axis=1)
-    msg = jnp.where(
-        jnp.arange(_MAX_DIGITS, dtype=jnp.uint32)[None, :] < length[:, None],
-        shifted,
-        0,
-    )  # [n, 39] bytes, left-aligned
-    msg = jnp.concatenate([msg, jnp.zeros((n, 1), jnp.uint32)], axis=1)
+    # LSD-first digit columns d[i] via an unrolled chain of short divisions
+    cols = [limbs[:, k] for k in range(NLIMB)]
+    d = []
+    for _ in range(_MAX_DIGITS):
+        rem = zero
+        new = [None] * NLIMB
+        for k in reversed(range(NLIMB)):
+            cur = (rem << LIMB_BITS) | cols[k]
+            q = cur // jnp.uint32(10)
+            rem = cur - q * jnp.uint32(10)
+            new[k] = q
+        cols = new
+        d.append(rem)
+
+    # significant digit count; value 0 encodes as "0" (one digit)
+    length = jnp.ones((n,), jnp.uint32)
+    for i in range(1, _MAX_DIGITS):
+        length = jnp.where(d[i] != 0, jnp.uint32(i + 1), length)
+
+    # left-aligned ASCII bytes: msg[j] = d[L-1-j] + '0' for j < L, else 0
+    msg = []
+    for j in range(_MAX_DIGITS):
+        acc = zero
+        for i in range(_MAX_DIGITS - j):
+            acc = jnp.where(
+                length == jnp.uint32(i + j + 1),
+                d[i] + jnp.uint32(ord("0")),
+                acc,
+            )
+        msg.append(acc)
+    msg.append(zero)  # byte 39
 
     # pack bytes (little-endian) into 16 64-bit message words; only the first
     # 5 words can be nonzero (40 bytes)
     mhi, mlo = [], []
     for w in range(16):
         if 8 * w >= 40:
-            mhi.append(jnp.zeros((n,), jnp.uint32))
-            mlo.append(jnp.zeros((n,), jnp.uint32))
+            mhi.append(zero)
+            mlo.append(zero)
             continue
         lo = (
-            msg[:, 8 * w]
-            | (msg[:, 8 * w + 1] << 8)
-            | (msg[:, 8 * w + 2] << 16)
-            | (msg[:, 8 * w + 3] << 24)
+            msg[8 * w]
+            | (msg[8 * w + 1] << 8)
+            | (msg[8 * w + 2] << 16)
+            | (msg[8 * w + 3] << 24)
         )
         hi = (
-            msg[:, 8 * w + 4]
-            | (msg[:, 8 * w + 5] << 8)
-            | (msg[:, 8 * w + 6] << 16)
-            | (msg[:, 8 * w + 7] << 24)
+            msg[8 * w + 4]
+            | (msg[8 * w + 5] << 8)
+            | (msg[8 * w + 6] << 16)
+            | (msg[8 * w + 7] << 24)
         )
         mhi.append(hi)
         mlo.append(lo)
+    return jnp.stack(mhi), jnp.stack(mlo), length
 
-    hhi, hlo = _compress(
-        jnp.stack(mhi), jnp.stack(mlo), jnp.zeros((n,), jnp.uint32), length
-    )
-    return hhi, hlo
+
+def leaf_digests_packed(limbs):
+    """uint32[n, 8] canonical limbs -> packed digest words [2, 8, n]."""
+    mhi, mlo, length = _leaf_message(limbs)
+    return _compress_words(mhi, mlo, length)
+
+
+def node_digests_packed(d):
+    """Packed digest level [2, 8, 2m] -> parent level [2, 8, m].
+
+    Parent message = left digest (64 bytes) || right digest (64 bytes): the
+    children's word planes ARE the message words (even/odd de-interleave).
+    """
+    m = d.shape[2] // 2
+    mhi = jnp.concatenate([d[0, :, 0::2], d[0, :, 1::2]], axis=0)
+    mlo = jnp.concatenate([d[1, :, 0::2], d[1, :, 1::2]], axis=0)
+    t = jnp.full((m,), 128, jnp.uint32)
+    return _compress_words(mhi, mlo, t)
+
+
+# -- legacy/unpacked API (parity helpers + tests) -----------------------------
+
+
+def _leaf_kernel(limbs):
+    """uint32[n, 8] canonical limbs -> digest words (hhi, hlo) [8, n]."""
+    d = leaf_digests_packed(limbs)
+    return d[0], d[1]
 
 
 def _node_kernel(child_hi, child_lo):
-    """Digest words [8, 2m] -> parent digest words [8, m].
-
-    Parent message = left digest (64 bytes) || right digest (64 bytes): the
-    children's word arrays ARE the message words.
-    """
-    left_hi, left_lo = child_hi[:, 0::2], child_lo[:, 0::2]
-    right_hi, right_lo = child_hi[:, 1::2], child_lo[:, 1::2]
-    mhi = jnp.concatenate([left_hi, right_hi], axis=0)
-    mlo = jnp.concatenate([left_lo, right_lo], axis=0)
-    return _compress(mhi, mlo, jnp.uint32(0), jnp.uint32(128))
+    d = node_digests_packed(jnp.stack([child_hi, child_lo]))
+    return d[0], d[1]
 
 
 @functools.lru_cache(maxsize=None)
 def _leaf_jit():
     return jax.jit(_leaf_kernel)
-
-
-@functools.lru_cache(maxsize=None)
-def _node_jit():
-    return jax.jit(_node_kernel)
 
 
 def leaf_digest_words(limbs) -> tuple[jax.Array, jax.Array]:
@@ -276,7 +420,7 @@ def leaf_digest_words(limbs) -> tuple[jax.Array, jax.Array]:
 
 
 def node_digest_words(hhi, hlo) -> tuple[jax.Array, jax.Array]:
-    return _node_jit()(hhi, hlo)
+    return _node_kernel(hhi, hlo)
 
 
 def words_to_digest_np(hhi, hlo) -> np.ndarray:
@@ -290,6 +434,12 @@ def words_to_digest_np(hhi, hlo) -> np.ndarray:
             out[:, 8 * i + b] = (hlo[i] >> (8 * b)).astype(np.uint8)
             out[:, 8 * i + 4 + b] = (hhi[i] >> (8 * b)).astype(np.uint8)
     return out
+
+
+def packed_to_digest_np(d) -> np.ndarray:
+    """Packed digest words [2, 8, n] (host np) -> uint8[n, 64] bytes."""
+    d = np.asarray(d, dtype=np.uint32)
+    return words_to_digest_np(d[0], d[1])
 
 
 def blake2b512_ints_device(values) -> list[bytes]:

@@ -119,6 +119,32 @@ def mont_mul_planes(a, b):
     return [jnp.where(take_d, dk, rk) for dk, rk in zip(d, out)]
 
 
+def redc_planes(a):
+    """Montgomery reduction of a field element (NOT a double-width product):
+    returns a * R^-1 mod p.  Equivalent to ``mont_mul_planes(a, one)`` but
+    skips the schoolbook product (multiplying by 1 just copies the limbs
+    into the columns), i.e. the canonical-form conversion at half cost.
+    """
+    az = a[0] * jnp.uint32(0)
+    t = [a[k] for k in range(NLIMB)] + [az] * (NLIMB + 1)
+    for k in range(NLIMB):
+        m = (t[k] * jnp.uint32(L.NPRIME)) & MASK
+        for j in range(NLIMB):
+            mp = m * jnp.uint32(L.P_LIMBS[j])
+            t[k + j] = t[k + j] + (mp & MASK)
+            t[k + j + 1] = t[k + j + 1] + (mp >> LIMB_BITS)
+        t[k + 1] = t[k + 1] + (t[k] >> LIMB_BITS)
+    out, carry = [], az
+    for k in range(NLIMB, 2 * NLIMB):
+        v = t[k] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    top = t[2 * NLIMB] + carry
+    d, borrow = _sub_p_planes(out)
+    take_d = (top > 0) | (borrow == 0)
+    return [jnp.where(take_d, dk, rk) for dk, rk in zip(d, out)]
+
+
 # -----------------------------------------------------------------------------
 # Fused-stage kernel
 # -----------------------------------------------------------------------------

@@ -595,9 +595,14 @@ def evaluate_many(coeffs: jax.Array, points: jax.Array) -> jax.Array:
 
     Scan-based Horner: one multiply body, n sequential steps over a k-wide
     batch — the device-batched replacement for the verifier's per-index
-    host evaluations (ref: stark.rs:676-770)."""
+    host evaluations (ref: stark.rs:676-770).  Long polynomials dispatch to
+    the log-depth parallel kernel instead (no serial multiply chain)."""
     if coeffs.shape[0] == 0:
         return jnp.zeros_like(points)
+    if coeffs.shape[0] >= _PARALLEL_EVAL_MIN:
+        return _evaluate_parallel_kernel(int(coeffs.shape[0]), 1)(
+            coeffs[None], points
+        )[0]
     return _evaluate_many_kernel(coeffs.shape[0])(coeffs, points)
 
 
@@ -618,6 +623,73 @@ def evaluate_many_batched(coeffs: jax.Array, points: jax.Array) -> jax.Array:
 
     acc, _ = jax.lax.scan(body, zero, jnp.swapaxes(coeffs, 0, 1)[::-1])
     return acc
+
+
+#: coefficient count above which the log-depth parallel evaluator replaces
+#: the sequential Horner scan (the scan issues one *dependent* Montgomery
+#: multiply per coefficient — ~14k serial steps for a long-trace zerofier,
+#: the verifier's former O(T) hot path; the parallel kernel is O(n*k) work
+#: at O(log n) depth)
+_PARALLEL_EVAL_MIN = 513
+
+
+@functools.lru_cache(maxsize=None)
+def _evaluate_parallel_kernel(n: int, nb: int):
+    """Log-depth evaluation of ``nb`` n-coefficient polynomials at shared
+    points: coeffs [nb, n, 8], points [k, 8] -> [nb, k, 8].
+
+    Powers x^0..x^{n-1} are built by doubling (log2 n concatenation steps,
+    each one batched Montgomery multiply), then every coefficient-power
+    product is computed at once and tree-reduced — no sequential dependency
+    chains, unlike Horner.
+    """
+    levels = max(1, (n - 1).bit_length())
+
+    def kernel(coeffs, points):
+        k = points.shape[0]
+        # x^(2^j) for j < levels, via one same-shape scan body
+        def sq(c, _):
+            return L.mont_mul(c, c), c
+
+        _, xps = jax.lax.scan(sq, points, None, length=levels)
+
+        pows = jnp.broadcast_to(
+            jnp.asarray(L.ONE_MONT), (k, 1, L.NLIMB)
+        ).astype(jnp.uint32)
+        cur = 1
+        for j in range(levels):
+            if cur >= n:
+                break
+            block = L.mont_mul(pows, xps[j][:, None, :])
+            pows = jnp.concatenate([pows, block], axis=1)
+            cur = pows.shape[1]
+        pows = pows[:, :n]
+
+        prods = L.mont_mul(pows[None], coeffs[:, None, :, :])  # [nb,k,n,8]
+        while prods.shape[2] > 1:
+            m = prods.shape[2]
+            if m % 2:
+                prods = jnp.concatenate(
+                    [prods, jnp.zeros_like(prods[:, :, :1])], axis=2
+                )
+            prods = L.add_mod(prods[:, :, 0::2], prods[:, :, 1::2])
+        return prods[:, :, 0]
+
+    return jax.jit(kernel)
+
+
+def evaluate_polys_shared(coeffs: jax.Array, points: jax.Array) -> jax.Array:
+    """Evaluate B polynomials (coeffs [B, n, 8]) at shared points [k, 8].
+
+    Dispatches to the log-depth parallel kernel for long polynomials (the
+    verifier's transition zerofier and periodic constant columns,
+    ref: stark.rs:676-770) and to the batched Horner scan otherwise.
+    """
+    nb, n = int(coeffs.shape[0]), int(coeffs.shape[1])
+    if n >= _PARALLEL_EVAL_MIN:
+        return _evaluate_parallel_kernel(n, nb)(coeffs, points)
+    pts = jnp.broadcast_to(points[None], (nb,) + points.shape)
+    return evaluate_many_batched(coeffs, pts)
 
 
 # -----------------------------------------------------------------------------

@@ -70,7 +70,7 @@ def _four_step_geometry(n: int) -> tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=None)
-def _dist_ntt_call(n1: int, n2: int, n_dev: int, root_int: int):
+def _dist_ntt_call(n1: int, n2: int, n_dev: int, root_int: int, devs=None):
     """Jitted shard_map four-step NTT for fixed geometry.
 
     Input  [n1, n2, 8]  coefficient matrix (i = n2*i1 + i2), i2 sharded;
@@ -83,33 +83,19 @@ def _dist_ntt_call(n1: int, n2: int, n_dev: int, root_int: int):
     jit-wrapped: a bare shard_map call dispatches eagerly op-by-op
     (measured ~70s/call on the CPU mesh).
     """
-    from ..ops.ntt import ntt_body
-    from ..utils.bits import bit_reverse_indices
+    from .ntt_dist import four_step_local
 
-    mesh = mesh_lib.make_mesh(n_dev)
+    mesh = mesh_lib.make_mesh(n_dev, devs)
     spec = PSpec(None, AXIS, None)
     repl = PSpec(None, None)
-    brev1 = bit_reverse_indices(n1)
-    brev2 = bit_reverse_indices(n2)
 
     def body(x_local, tw_local, pow1, pow2):
-        # step 1: length-n1 NTT along i1 (local columns), root w^{n2}
-        y = ntt_body(x_local, pow1, jnp.asarray(brev1), n1)
-        # step 2: twiddle w^(i2*k1) (precomputed, sharded like the data)
-        y = L.mont_mul(y, tw_local)
-        # step 3: all_to_all transpose over ICI -> [n1/D, n2, 8]
-        y = jax.lax.all_to_all(
-            y, AXIS, split_axis=0, concat_axis=1, tiled=True
+        # delegate to THE four-step body (parallel.ntt_dist) with the
+        # operand-table twiddle strategy
+        return four_step_local(
+            x_local, n1, n2, n_dev, root_int,
+            tw_local=tw_local, pow1=pow1, pow2=pow2,
         )
-        # step 4: length-n2 NTT along i2 (now full rows), root w^{n1}
-        z = jnp.moveaxis(
-            ntt_body(
-                jnp.moveaxis(y, 1, 0), pow2, jnp.asarray(brev2), n2
-            ),
-            0,
-            1,
-        )
-        return jnp.swapaxes(z, 0, 1)
 
     mapped = jax.shard_map(
         body,
@@ -136,11 +122,12 @@ class DistEngine(Engine):
 
     #: transforms below this length run single-device (replicated): the
     #: four-step tiling needs n1 % D == 0 and n2 % D == 0
-    def __init__(self, n_devices: int):
+    def __init__(self, n_devices: int, devices=None):
         assert n_devices & (n_devices - 1) == 0, "device count must be pow2"
         self.n_devices = n_devices
-        self.mesh = mesh_lib.make_mesh(n_devices)
-        self.cache_key = ("dist", n_devices)
+        self.devices = tuple(devices) if devices is not None else None
+        self.mesh = mesh_lib.make_mesh(n_devices, self.devices)
+        self.cache_key = ("dist", n_devices, self.devices)
         self._flat_sharding = NamedSharding(self.mesh, PSpec(AXIS, None))
 
     def _distributable(self, n: int) -> bool:
@@ -184,7 +171,9 @@ class DistEngine(Engine):
         )
         pow1 = powers_mont(pow(root, n2, P), max(1, n1 // 2))
         pow2 = powers_mont(pow(root, n1, P), max(1, n2 // 2))
-        z = _dist_ntt_call(n1, n2, self.n_devices, root)(xm, tw, pow1, pow2)
+        z = _dist_ntt_call(n1, n2, self.n_devices, root, self.devices)(
+            xm, tw, pow1, pow2
+        )
         return self.constrain(z.reshape(n, L.NLIMB))
 
     def intt(self, x: jax.Array, root_int: int) -> jax.Array:
@@ -203,7 +192,7 @@ class DistEngine(Engine):
         n = x.shape[0]
         if x.ndim != 2 or n % self.n_devices or n < 8 * self.n_devices:
             return L.batch_inv(x)
-        fn = _dist_batch_inv_call(n, self.n_devices)
+        fn = _dist_batch_inv_call(n, self.n_devices, self.devices)
         return fn(self.constrain(x))
 
 
@@ -215,8 +204,28 @@ def dist_engine(n_devices: int) -> DistEngine:
 
 
 @functools.lru_cache(maxsize=None)
-def _dist_batch_inv_call(n: int, n_dev: int):
-    mesh = mesh_lib.make_mesh(n_dev)
+def engine_for_hybrid(mesh=None, row: int = 0) -> DistEngine:
+    """DistEngine over one ICI row of a ``multihost.hybrid_mesh``.
+
+    The hybrid (proof, shard) layout assigns independent proof statements to
+    DCN rows and shards each proof's domain over that row's ICI devices —
+    O(domain) collectives (NTT all_to_all, fold pairing) never cross DCN.
+    This is the reachable path from ``Stark(engine=...)``:
+
+        mesh = multihost.hybrid_mesh()
+        stark.engine = stark.fri.engine = engine_for_hybrid(mesh, row)
+    """
+    from .multihost import hybrid_mesh
+
+    if mesh is None:
+        mesh = hybrid_mesh()
+    devs = tuple(mesh.devices[row])
+    return DistEngine(len(devs), devices=devs)
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_batch_inv_call(n: int, n_dev: int, devs=None):
+    mesh = mesh_lib.make_mesh(n_dev, devs)
     spec = PSpec(AXIS, None)
     return jax.jit(
         jax.shard_map(

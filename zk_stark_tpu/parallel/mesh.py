@@ -19,8 +19,8 @@ AXIS = "shard"
 
 
 @functools.lru_cache(maxsize=None)
-def _make_mesh_cached(n_devices: int | None) -> Mesh:
-    devices = jax.devices()
+def _make_mesh_cached(n_devices: int | None, device_key) -> Mesh:
+    devices = list(device_key) if device_key is not None else jax.devices()
     if n_devices is not None:
         assert len(devices) >= n_devices, (
             f"need {n_devices} devices, have {len(devices)}"
@@ -29,9 +29,15 @@ def _make_mesh_cached(n_devices: int | None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
-    """One Mesh instance per device count (sharding equality relies on it)."""
-    return _make_mesh_cached(n_devices)
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """One Mesh instance per device set (sharding equality relies on it).
+
+    ``devices`` (a tuple, e.g. one ICI row of a multihost.hybrid_mesh)
+    overrides the default ``jax.devices()`` prefix.
+    """
+    return _make_mesh_cached(
+        n_devices, tuple(devices) if devices is not None else None
+    )
 
 
 def col_sharding(mesh: Mesh) -> NamedSharding:

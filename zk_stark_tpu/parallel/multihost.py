@@ -58,7 +58,12 @@ def initialize(
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    if jax.process_count() > 1:
+    # Detect prior initialization WITHOUT touching backends:
+    # jax.process_count() enumerates devices and initializes XLA, after
+    # which jax.distributed.initialize() raises ("must be called before any
+    # JAX device operations") — exactly the multi-process case this module
+    # exists for (ADVICE r2).
+    if _distributed_client_active():
         return True  # already initialized
     if coordinator_address is None and num_processes in (None, 1):
         return False  # single-process run: nothing to do
@@ -69,6 +74,21 @@ def initialize(
         process_id=process_id,
     )
     return True
+
+
+def _distributed_client_active() -> bool:
+    """True iff jax.distributed.initialize() already ran in this process.
+
+    Backend-safe: inspects the distributed global state only (public
+    ``is_initialized`` when the jax version has it, else the private
+    client handle) — never calls device-enumerating APIs.
+    """
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        return bool(is_init())
+    from jax._src import distributed as _dist
+
+    return getattr(_dist.global_state, "client", None) is not None
 
 
 def _device_grid(devices) -> np.ndarray:

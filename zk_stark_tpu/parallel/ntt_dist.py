@@ -55,36 +55,84 @@ def _twiddle_exps(n1: int, n2_local: int):
     return k1, i2l
 
 
-def _four_step_local(
-    x_local, root_int: int, n1: int, n2: int, n_dev: int, inverse: bool
+def four_step_local(
+    x_local,
+    n1: int,
+    n2: int,
+    n_dev: int,
+    root_int: int,
+    tw_local=None,
+    pow1=None,
+    pow2=None,
+    inverse: bool = False,
 ):
-    """shard_map body: x_local [n1, n2/D, 8] -> z_local [n2, n1/D, 8]."""
-    d = jax.lax.axis_index(AXIS)
-    n2_local = n2 // n_dev
+    """THE shard_map body of the distributed four-step NTT:
+    x_local [n1, n2/D, 8] -> z_local [n2, n1/D, 8] with ONE all_to_all.
+
+    This is the single four-step implementation — the prover engine
+    (parallel.engine.DistEngine) and the scaling harness both wrap it.
+    Twiddle strategy is an argument:
+
+    * ``tw_local``/``pow1``/``pow2`` operands (engine): host-precomputed
+      tables passed through the constpool, O(N) HBM but zero in-kernel pow —
+      best when N fits comfortably;
+    * in-body exponentiation (harness / N >= 2^22): ``pow_by_exponents``
+      computes w^(i2*k1) from log2(N) base powers, no O(N) table.
+    """
     root = pow(root_int, -1, P) if inverse else root_int
 
     # step 1: length-n1 NTT along i1 (local columns), root w^{n2}
-    y = _local_ntt(x_local, pow(root, n2, P), n1, axis=0)
+    if pow1 is not None:
+        y = ntt_body(
+            x_local, pow1, jnp.asarray(bit_reverse_indices(n1)), n1
+        )
+    else:
+        y = _local_ntt(x_local, pow(root, n2, P), n1, axis=0)
 
     # step 2: twiddle w^{i2*k1} with i2 = d*n2_local + i2_local
-    k1, i2l = _twiddle_exps(n1, n2_local)
-    exps = (i2l + d * n2_local) * k1  # [n1, n2/D], fits uint32 for N <= 2^32
-    nbits = max(1, (n1 * n2 - 1).bit_length())
-    basepows = host_base_pows(root, nbits)
-    ones = jnp.broadcast_to(jnp.asarray(L.ONE_MONT), y.shape)
-    from ..ops.ntt import pow_by_exponents
+    if tw_local is not None:
+        y = L.mont_mul(y, tw_local)
+    else:
+        d = jax.lax.axis_index(AXIS)
+        n2_local = n2 // n_dev
+        k1, i2l = _twiddle_exps(n1, n2_local)
+        exps = (i2l + d * n2_local) * k1  # [n1, n2/D], uint32 for N <= 2^32
+        nbits = max(1, (n1 * n2 - 1).bit_length())
+        basepows = host_base_pows(root, nbits)
+        ones = jnp.broadcast_to(jnp.asarray(L.ONE_MONT), y.shape)
+        from ..ops.ntt import pow_by_exponents
 
-    tw = pow_by_exponents(ones, basepows, exps, nbits)
-    y = L.mont_mul(y, tw)
+        tw = pow_by_exponents(ones, basepows, exps, nbits)
+        y = L.mont_mul(y, tw)
 
     # step 3: all_to_all transpose -> [n1/D, n2, 8]
     y = jax.lax.all_to_all(y, AXIS, split_axis=0, concat_axis=1, tiled=True)
 
     # step 4: length-n2 NTT along i2 (now full rows), root w^{n1}
-    z = _local_ntt(y, pow(root, n1, P), n2, axis=1)
+    if pow2 is not None:
+        z = jnp.moveaxis(
+            ntt_body(
+                jnp.moveaxis(y, 1, 0),
+                pow2,
+                jnp.asarray(bit_reverse_indices(n2)),
+                n2,
+            ),
+            0,
+            1,
+        )
+    else:
+        z = _local_ntt(y, pow(root, n1, P), n2, axis=1)
 
     # emit [k2, k1_local]: device d holds k1 in [d*n1/D, (d+1)*n1/D)
     return jnp.swapaxes(z, 0, 1)
+
+
+def _four_step_local(
+    x_local, root_int: int, n1: int, n2: int, n_dev: int, inverse: bool
+):
+    return four_step_local(
+        x_local, n1, n2, n_dev, root_int, inverse=inverse
+    )
 
 
 def _scale_local(x_local, scalar_int: int):

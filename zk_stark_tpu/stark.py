@@ -302,12 +302,22 @@ class Stark:
 
             bq_canon = from_mont(jnp.stack([cw for cw in bq_cws]))
             rand_canon = from_mont(rand_cw)
+            # pack the m boundary-quotient codewords, the randomizer
+            # codeword AND the quotient degrees into ONE array: the host
+            # reads everything it needs from segment 1 in a single fetch
+            # (each dispatch+fetch round trip costs ~28 ms on the remote
+            # transport)
+            deg_row = jnp.zeros((fri_dl, L.NLIMB), dtype=jnp.uint32)
+            deg_row = deg_row.at[: len(tq_degs), 0].set(
+                jnp.stack(tq_degs).astype(jnp.uint32)
+            )
+            packed = jnp.concatenate(
+                [bq_canon, rand_canon[None], deg_row[None]], axis=0
+            )
             return (
-                bq_canon,
-                rand_canon,
+                packed,
                 tuple(tq.c for tq in tqs),
                 tuple(bq.c for bq in bqs),
-                jnp.stack(tq_degs),
             )
 
         from .ops.constpool import pooled_jit
@@ -427,20 +437,43 @@ class Stark:
         )
 
         with self._stage("segment1"):
-            bq_canon, rand_canon, tq_stack, bq_stack, tq_degs = seg1(
+            packed, tq_stack, bq_stack = seg1(
                 trace_cols, bi_arrs, bz_arrs, rand_arr
             )
-            tq_degrees = [int(d) for d in np.asarray(tq_degs)]
+
+        def _decode_degs(cells) -> list[int]:
+            out = []
+            for v in cells[: air.num_constraints]:
+                d = int(v)
+                out.append(d - (1 << 32) if d >= (1 << 31) else d)
+            return out
 
         # commit to boundary quotients + randomizer (stark.rs:362-386,422-445)
+        # — ONE host fetch brings back the tree tops (or host codewords) AND
+        # the quotient degrees packed by segment 1
         with self._stage("commit_roots"):
-            boundary_quotient_trees = []
-            for s in range(self.num_registers):
-                tree = merkle.tree_for_codeword(bq_canon[s])
-                boundary_quotient_trees.append(tree)
+            m = self.num_registers
+            fri_dl = self.fri.domain_length
+            if merkle.device_policy(fri_dl):
+                trees, deg_np = merkle.build_device_trees(
+                    [packed[s] for s in range(m + 1)],
+                    extra=packed[m + 1, : air.num_constraints, 0],
+                )
+                tq_degrees = _decode_degs(deg_np)
+            else:
+                packed_np = np.asarray(packed)  # one fetch for everything
+                tq_degrees = _decode_degs(packed_np[m + 1, :, 0])
+                trees = [
+                    merkle.HostCodewordTree(
+                        packed_np[s],
+                        merkle.tree_from_canonical_limbs(packed_np[s]),
+                    )
+                    for s in range(m + 1)
+                ]
+            boundary_quotient_trees = trees[:m]
+            randomizer_tree = trees[m]
+            for tree in trees:
                 ps.push(Root(tree.root))
-            randomizer_tree = merkle.tree_for_codeword(rand_canon)
-            ps.push(Root(randomizer_tree.root))
 
         # weights + degree sanity check (stark.rs:447-464)
         weights = self.sample_weights(
@@ -499,18 +532,18 @@ class Stark:
         )
 
         with self._stage("openings"):
-            for s in range(self.num_registers):
-                tree = boundary_quotient_trees[s]
-                vals = tree.values_at(quadrupled_indices)
-                paths = tree.paths(quadrupled_indices)
+            # all m+1 trees opened in one device dispatch + one host fetch
+            opened = merkle.open_many(
+                [
+                    (boundary_quotient_trees[s], quadrupled_indices)
+                    for s in range(self.num_registers)
+                ]
+                + [(randomizer_tree, quadrupled_indices)]
+            )
+            for vals, paths in opened:
                 for j, i in enumerate(quadrupled_indices):
                     ps.push(Value(vals[j]))
                     ps.push(Path(tuple(paths[j])))
-            vals = randomizer_tree.values_at(quadrupled_indices)
-            paths = randomizer_tree.paths(quadrupled_indices)
-            for j, i in enumerate(quadrupled_indices):
-                ps.push(Value(vals[j]))
-                ps.push(Path(tuple(paths[j])))
 
         with self._stage("serialize"):
             return ps.serialize()
