@@ -86,11 +86,19 @@ def _fold_call(hrows: int, rtile: int, interpret: bool):
 
 
 def fold_supported(n: int) -> bool:
-    """Pallas fold needs a half length that tiles as [rows, 128]."""
+    """Pallas fold needs a half length that tiles as [rows, 128].
+
+    Gated to n >= 2^16 in production (every Mosaic shape costs ~30 s of
+    remote compile; below that the jnp fold is already sub-0.1 ms, so the
+    cold-compile cost can never amortize).  INTERPRET lifts the floor for
+    parity tests.
+    """
     half = n // 2
-    return half >= 128 and half % 128 == 0 and (
-        INTERPRET or jax.default_backend() == "tpu"
-    )
+    if half < 128 or half % 128:
+        return False
+    if INTERPRET:
+        return True
+    return n >= (1 << 16) and jax.default_backend() == "tpu"
 
 
 @functools.lru_cache(maxsize=None)
