@@ -283,31 +283,6 @@ def _compress_words(mhi, mlo, t_lo):
 _MAX_DIGITS = 39
 
 
-def _decimal_digits(limbs):
-    """Canonical uint32[n, 8] limbs -> right-aligned digit matrix [n, 39].
-
-    Column 38 holds the units digit; leading columns are zero for small
-    values.  Unrolled chain of 39 short divisions by 10 over 1-D [n] limb
-    columns (constant-divisor multiply-shift after XLA folding, everything
-    fuses — the previous ``lax.scan`` over [n, 8] arrays materialized the
-    8-wide-minor carry every step and dominated leaf hashing).
-    """
-    cols = [limbs[:, k] for k in range(NLIMB)]
-    digits = []
-    for _ in range(_MAX_DIGITS):
-        rem = jnp.zeros_like(cols[0])
-        new = [None] * NLIMB
-        for k in reversed(range(NLIMB)):
-            cur = (rem << LIMB_BITS) | cols[k]
-            q = cur // jnp.uint32(10)
-            rem = cur - q * jnp.uint32(10)
-            new[k] = q
-        cols = new
-        digits.append(rem)
-    # digits[i] is the 10^i digit; right-aligned means column 38 - i
-    return jnp.stack(digits[::-1], axis=1)
-
-
 def _leaf_message(limbs):
     """uint32[n, 8] canonical limbs -> (mhi [16, n], mlo [16, n], len [n]).
 

@@ -687,11 +687,13 @@ class Stark:
             terms.append(L.mont_mul_jit(bqv, L.mont_pow_jit(x_cur, shift)))
 
         combination = jnp.zeros_like(x_cur)
-        for w, term in zip(weights, terms):
+        weights_dev = L.ints_to_mont(weights)  # ONE host->device transfer
+        for i, term in enumerate(terms):
             combination = L.add_mod_jit(
                 combination,
                 L.mont_mul_jit(
-                    term, jnp.broadcast_to(L.int_to_mont(w), term.shape)
+                    term,
+                    jnp.broadcast_to(weights_dev[i], term.shape),
                 ),
             )
 
