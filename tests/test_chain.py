@@ -6,7 +6,7 @@ from zk_stark_tpu.field import Field
 from zk_stark_tpu.models.rescue_chain import RescueChain, make_chain_stark
 from zk_stark_tpu.models.rescue_prime import RescuePrime
 from zk_stark_tpu.proof_stream import ProofStream
-from zk_stark_tpu.stark import VerificationError
+from zk_stark_tpu.stark import ProvingError, VerificationError
 
 F = Field()
 
@@ -58,9 +58,13 @@ def test_chain_false_witness_rejected(chain_setup):
     trace = model.trace(x)
     trace[30][1] = (trace[30][1] + 5) % F.order
     boundary = model.boundary_constraints(y)
+    # the prover's degree sanity check must reject the tampered trace with
+    # ProvingError specifically (ref: stark.rs:451-464); if it ever starts
+    # emitting a proof instead, that proof must fail verification — any
+    # other exception (shape error, crash) fails this test
     try:
         proof = stark.prove(trace, air, boundary, ProofStream(F))
-    except Exception:
+    except ProvingError:
         return
     with pytest.raises(VerificationError):
         stark.verify(air, boundary, ProofStream.deserialize(proof, F))

@@ -92,6 +92,33 @@ def _fold_round_kernel_cached(n: int, engine):
     return jax.jit(kernel)
 
 
+@functools.lru_cache(maxsize=None)
+def _lowdeg_kernel(n: int, last_omega: int, last_offset: int, p: int):
+    """Fused FRI last-codeword check (ref: fri.rs:281-328) in ONE dispatch.
+
+    iNTT -> scale by offset^-1 -> device degree scan -> scale back ->
+    re-evaluate; returns [1 + n, 8] with row 0 carrying the degree (two's
+    complement in limb 0) and rows 1.. the canonical re-evaluated codeword.
+    Replaces 3 dispatches + 2 fetches — each transport round trip costs
+    ~28 ms, which dominated warm verify at chain scale.
+    """
+    from .ops.poly_ops import degree_device
+
+    offset_inv = pow(last_offset, -1, p)
+
+    def kernel(cw_mont):
+        coeffs = intt_mont(cw_mont, last_omega)
+        poly = DPoly(coeffs).scale(offset_inv)
+        d = degree_device(poly.c)
+        reeval = ntt_mont(poly.scale(last_offset).c, last_omega)
+        canon = L.from_mont(reeval)
+        deg_row = jnp.zeros((1, L.NLIMB), dtype=jnp.uint32)
+        deg_row = deg_row.at[0, 0].set(d.astype(jnp.uint32))
+        return jnp.concatenate([deg_row, canon], axis=0)
+
+    return jax.jit(kernel)
+
+
 class FRI:
     """(ref: fri.rs:13-38)"""
 
@@ -114,6 +141,15 @@ class FRI:
         self.expansion_factor = expansion_factor
         self.num_colinearity_tests = num_colinearity_tests
         self.engine = engine if engine is not None else DEFAULT
+        #: optional utils.profiling.StageTimer (set by Stark.verify)
+        self.timer = None
+
+    def _stage(self, name: str):
+        import contextlib
+
+        if self.timer is None:
+            return contextlib.nullcontext()
+        return self.timer.stage(name)
 
     def num_rounds(self) -> int:
         """(ref: fri.rs:40-50)"""
@@ -338,8 +374,9 @@ class FRI:
             )
 
         last_codeword = list(proof_stream.pull_codeword())
-        if merkle.commit_ints(last_codeword) != roots[-1]:
-            raise ValueError("last codeword is not well formed")
+        with self._stage("v_fri_last_root"):
+            if merkle.commit_ints(last_codeword) != roots[-1]:
+                raise ValueError("last codeword is not well formed")
 
         # low-degree check (ref: fri.rs:281-328)
         degree = len(last_codeword) // self.expansion_factor - 1
@@ -351,24 +388,29 @@ class FRI:
         if pow(last_omega, -1, p) != pow(last_omega, len(last_codeword) - 1, p):
             raise ValueError("omega does not have the right order")
 
-        coeffs = intt_mont(L.ints_to_mont(last_codeword), last_omega)
-        poly = DPoly(coeffs).scale(pow(last_offset, -1, p))
-        poly_degree = poly.degree()
-        if poly_degree is None:
-            raise ValueError("received none instead of polynomial degree")
-        if poly_degree > degree:
-            raise ValueError(
-                f"last codeword does not correspond to polynomial of low "
-                f"enough degree (it is {poly_degree} but should be <= {degree})"
-            )
-        reeval = [
-            int(v)
-            for v in L.mont_to_ints(
-                ntt_mont(poly.scale(last_offset).c, last_omega)
-            )
-        ]
-        if reeval != last_codeword:
-            raise ValueError("re-evaluated codeword does not match original")
+        with self._stage("v_fri_lowdeg"):
+            # one upload, one fused dispatch (iNTT -> scale -> degree ->
+            # re-evaluation), one fetch of [1+n, 8]
+            packed = _lowdeg_kernel(
+                len(last_codeword), last_omega, last_offset, p
+            )(L.ints_to_mont(last_codeword))
+            packed_np = np.asarray(packed)
+            d = int(packed_np[0, 0])
+            poly_degree = d - (1 << 32) if d >= (1 << 31) else d
+            if poly_degree < 0:
+                # zero polynomial: the reference's degree() returns None
+                raise ValueError("received none instead of polynomial degree")
+            if poly_degree > degree:
+                raise ValueError(
+                    f"last codeword does not correspond to polynomial of low "
+                    f"enough degree (it is {poly_degree} but should be "
+                    f"<= {degree})"
+                )
+            reeval = [int(v) for v in L.limbs_to_ints(packed_np[1:])]
+            if reeval != last_codeword:
+                raise ValueError(
+                    "re-evaluated codeword does not match original"
+                )
 
         top_level_indices = self.sample_indices(
             proof_stream.fiat_shamir_verifier(PROOF_BYTES),
@@ -386,41 +428,47 @@ class FRI:
                 i + (self.domain_length >> (r + 1)) for i in indices_a
             ]
 
-            aa, bb, cc = [], [], []
-            for s in range(self.num_colinearity_tests):
-                ay, by, cy = proof_stream.pull_leafs()
-                aa.append(ay)
-                bb.append(by)
-                cc.append(cy)
-                if r == 0:
-                    polynomial_values.append((indices_a[s], ay))
-                    polynomial_values.append((indices_b[s], by))
-                ax = offset * pow(omega, indices_a[s], p) % p
-                bx = offset * pow(omega, indices_b[s], p) % p
-                cx = alphas[r]
-                if not Polynomial.test_colinearity(
-                    self.field, [(ax, ay), (bx, by), (cx, cy)]
-                ):
-                    raise ValueError("colinearity check failure")
+            with self._stage("v_fri_colinearity"):
+                aa, bb, cc = [], [], []
+                for s in range(self.num_colinearity_tests):
+                    ay, by, cy = proof_stream.pull_leafs()
+                    aa.append(ay)
+                    bb.append(by)
+                    cc.append(cy)
+                    if r == 0:
+                        polynomial_values.append((indices_a[s], ay))
+                        polynomial_values.append((indices_b[s], by))
+                    ax = offset * pow(omega, indices_a[s], p) % p
+                    bx = offset * pow(omega, indices_b[s], p) % p
+                    cx = alphas[r]
+                    if not Polynomial.test_colinearity(
+                        self.field, [(ax, ay), (bx, by), (cx, cy)]
+                    ):
+                        raise ValueError("colinearity check failure")
 
-            for i in range(self.num_colinearity_tests):
-                path = proof_stream.pull_path()
-                if not merkle.verify_int(roots[r], indices_a[i], path, aa[i]):
-                    raise ValueError(
-                        "Merkle auth path verification failed for aa"
-                    )
-                path = proof_stream.pull_path()
-                if not merkle.verify_int(roots[r], indices_b[i], path, bb[i]):
-                    raise ValueError(
-                        "Merkle auth path verification failed for bb"
-                    )
-                path = proof_stream.pull_path()
-                if not merkle.verify_int(
-                    roots[r + 1], indices_c[i], path, cc[i]
-                ):
-                    raise ValueError(
-                        "Merkle auth path verification failed for cc"
-                    )
+            with self._stage("v_fri_paths"):
+                for i in range(self.num_colinearity_tests):
+                    path = proof_stream.pull_path()
+                    if not merkle.verify_int(
+                        roots[r], indices_a[i], path, aa[i]
+                    ):
+                        raise ValueError(
+                            "Merkle auth path verification failed for aa"
+                        )
+                    path = proof_stream.pull_path()
+                    if not merkle.verify_int(
+                        roots[r], indices_b[i], path, bb[i]
+                    ):
+                        raise ValueError(
+                            "Merkle auth path verification failed for bb"
+                        )
+                    path = proof_stream.pull_path()
+                    if not merkle.verify_int(
+                        roots[r + 1], indices_c[i], path, cc[i]
+                    ):
+                        raise ValueError(
+                            "Merkle auth path verification failed for cc"
+                        )
 
             omega = omega * omega % p
             offset = offset * offset % p

@@ -385,7 +385,8 @@ def tree_for_codeword(
     ``canon`` may be a device array (stays on device when the device path is
     chosen — no full-codeword transfer) or a host ndarray.  ``device`` forces
     the choice; default policy: device hashing on accelerators for
-    n >= 4096, host (threaded C++) otherwise / on CPU
+    n >= 16384 (the measured round-3 crossover, see _device_merkle_enabled),
+    host (threaded C++) otherwise / on CPU
     (override: ZK_STARK_TPU_DEVICE_MERKLE=0/1).
     """
     n = int(canon.shape[0])

@@ -206,12 +206,23 @@ def _use_pallas() -> bool:
 # Pallas compression kernel
 # -----------------------------------------------------------------------------
 
-#: lane-tile width for the compression grid
-_CTILE = 2048
+#: sublane rows per compression tile: each message word is an [S, 128]
+#: uint32 plane — a full multiple of the VPU's native 8x128 vector tile.
+#: (The round-3 kernel kept each word as a 1-D [2048] vector, which lowers
+#: to a 1-sublane layout and left 7/8 of every VPU issue empty: measured
+#: 12% of speed-of-light.  Retiling to 2-D planes is the whole fix.)
+_STILE = 32
+
+
+def _stile_for(m: int) -> int:
+    """Tile rows for a batch of m messages: full 32-row tiles for bulk
+    work, the 8-row VPU minimum for small batches (keeps the pad — and the
+    CPU interpret-mode test programs — small)."""
+    return _STILE if m >= _STILE * 128 else 8
 
 
 def _compress_pallas_kernel(mhi_ref, mlo_ref, t_ref, o_ref):
-    """Compression of one [16, ctile] message tile -> [2, 8, ctile] digests."""
+    """Compression of one [16, S, 128] message tile -> [2, 8, S, 128]."""
     mhi = [mhi_ref[k] for k in range(16)]
     mlo = [mlo_ref[k] for k in range(16)]
     hhi, hlo = _compress(mhi, mlo, jnp.uint32(0), t_ref[0])
@@ -222,29 +233,43 @@ def _compress_pallas_kernel(mhi_ref, mlo_ref, t_ref, o_ref):
 
 @functools.lru_cache(maxsize=None)
 def _compress_call(m: int, interpret: bool):
+    """m must be a multiple of the tile size; element i lives at plane
+    position (i // 128, i % 128) of [m // 128, 128] (a contiguous
+    reshape)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ctile = min(_CTILE, m)
+    stile = _stile_for(m)
+    ctile = stile * 128
     assert m % ctile == 0
+    rows = m // 128
     grid = (m // ctile,)
     mspec = pl.BlockSpec(
-        (16, ctile), lambda i: (0, i), memory_space=pltpu.VMEM
+        (16, stile, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
-    tspec = pl.BlockSpec((1, ctile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec(
+        (1, stile, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
     ospec = pl.BlockSpec(
-        (2, 8, ctile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        (2, 8, stile, 128),
+        lambda i: (0, 0, i, 0),
+        memory_space=pltpu.VMEM,
     )
 
     def call(mhi, mlo, t_lo):
-        return pl.pallas_call(
+        out = pl.pallas_call(
             _compress_pallas_kernel,
             grid=grid,
-            out_shape=jax.ShapeDtypeStruct((2, 8, m), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((2, 8, rows, 128), jnp.uint32),
             in_specs=[mspec, mspec, tspec],
             out_specs=ospec,
             interpret=interpret,
-        )(mhi, mlo, t_lo[None, :])
+        )(
+            mhi.reshape(16, rows, 128),
+            mlo.reshape(16, rows, 128),
+            t_lo.reshape(1, rows, 128),
+        )
+        return out.reshape(2, 8, m)
 
     return call
 
@@ -257,7 +282,7 @@ def _compress_words(mhi, mlo, t_lo):
     """
     m = mhi.shape[1]
     if _use_pallas():
-        pad = (-m) % 128  # lane-align tiny batches for the kernel grid
+        pad = (-m) % (_stile_for(m) * 128)  # tile-align for the kernel grid
         if pad:
             mhi = jnp.pad(mhi, ((0, 0), (0, pad)))
             mlo = jnp.pad(mlo, ((0, 0), (0, pad)))

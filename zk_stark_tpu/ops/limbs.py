@@ -55,21 +55,28 @@ def int_to_limbs(x: int) -> np.ndarray:
 
 
 def ints_to_limbs(vals) -> np.ndarray:
-    """Sequence of Python ints -> uint32[n, 8] (canonical domain)."""
-    arr = np.array([int(v) for v in vals], dtype=object)
-    out = np.empty(arr.shape + (NLIMB,), dtype=np.uint32)
-    for k in range(NLIMB):
-        out[..., k] = ((arr >> (LIMB_BITS * k)) & MASK).astype(np.uint32)
-    return out
+    """Sequence of Python ints -> uint32[n, 8] (canonical domain).
+
+    Packs each (< 2^128) value's little-endian bytes and reinterprets them
+    as 16-bit limbs — ``int.to_bytes`` is a single C call per value, ~10x
+    faster than object-dtype numpy shifting (the prover's ``host_inputs``
+    stage is this conversion over the whole randomized trace).
+    """
+    vals = list(vals)
+    buf = b"".join(int(v).to_bytes(16, "little") for v in vals)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(vals), NLIMB)
+    return u16.astype(np.uint32)
 
 
 def limbs_to_ints(limbs) -> np.ndarray:
     """uint32[..., 8] -> object ndarray of Python ints (canonical domain)."""
-    arr = np.asarray(limbs)
-    acc = np.zeros(arr.shape[:-1], dtype=object)
-    for k in reversed(range(NLIMB)):
-        acc = (acc << LIMB_BITS) | arr[..., k].astype(object)
-    return acc
+    arr = np.ascontiguousarray(np.asarray(limbs), dtype=np.uint32)
+    flat = arr.reshape(-1, NLIMB).astype("<u2")
+    raw = flat.tobytes()
+    out = np.empty(flat.shape[0], dtype=object)
+    for i in range(flat.shape[0]):
+        out[i] = int.from_bytes(raw[16 * i : 16 * i + 16], "little")
+    return out.reshape(arr.shape[:-1])
 
 
 # Device-constant limb vectors.

@@ -379,17 +379,39 @@ def fast_zerofier(
     return level[0]
 
 
+#: both dimensions at/above this size dispatch arbitrary-domain evaluation
+#: to the O(n log^2 n) batched subproduct tree (ops.multipoint); below it
+#: the O(n*k) vectorized Horner wins — the tree pays O(log^2 k) dependent
+#:  batched-NTT stages (~30 dispatches at ~28 ms each over the remote
+#: transport) while Horner is one dispatch of embarrassingly parallel work
+#: (measured crossover analysis: tools/multipoint_bench.py)
+_TREE_EVAL_MIN = 4096
+#: unstructured-domain interpolation switches from O(k^2) host Lagrange to
+#: the device tree here (Lagrange is host bigint math: ~30 s at k=4096)
+_TREE_INTERP_MIN = 2048
+
+
 def fast_evaluate_domain(
     poly: DPoly, domain: jax.Array
 ) -> jax.Array:
     """Evaluate a polynomial on an arbitrary device domain [k, 8]
     (capability of ref: ntt_arithmetics.rs:110-159).
 
-    The reference uses an O(n log^2 n) host-driven remainder tree; here a
-    single batched Horner scan (one multiply body, n steps over the k-wide
-    batch) — O(n*k) arithmetic but fully vectorized, which wins on TPU for
-    every size the protocol uses.  Results are identical field elements.
+    Small/medium problems run a batched Horner scan — O(n*k) arithmetic but
+    fully vectorized in one dispatch, which beats tree-walking below the
+    crossover.  Large problems (both dims >= _TREE_EVAL_MIN, k a power of
+    two) dispatch to the batched remainder tree (ops.multipoint), the
+    device-shaped counterpart of the reference's O(n log^2 n) recursion.
+    Results are identical field elements either way.
     """
+    from ..utils.bits import is_pow2
+
+    k = int(domain.shape[0])
+    n = int(poly.c.shape[0])
+    if is_pow2(k) and k >= _TREE_EVAL_MIN and n >= _TREE_EVAL_MIN:
+        from .multipoint import evaluate_tree
+
+        return evaluate_tree(poly.c, domain)
     return evaluate_many(poly.c, domain)
 
 
@@ -404,9 +426,14 @@ def fast_interpolate_domain(
     (capability of ref: ntt_arithmetics.rs:172-237).
 
     Dispatches: first-k-powers domains go to the O(n log n) device
-    barycentric algorithm; general domains use exact Lagrange (interpolation
-    is unique, so coefficients match the reference recursion).
+    barycentric algorithm; large power-of-two general domains go to the
+    batched subproduct tree (ops.multipoint, the device counterpart of
+    ref ntt_arithmetics.rs:172-237); the rest use exact host Lagrange
+    (interpolation is unique, so coefficients match the reference recursion
+    in every branch).
     """
+    from ..utils.bits import is_pow2
+
     k = len(domain_ints)
     assert k == len(values_ints)
     if k == 0:
@@ -422,6 +449,14 @@ def fast_interpolate_domain(
         return interpolate_first_k(
             root_int, root_order, k, L.ints_to_mont(list(values_ints))
         )
+    if is_pow2(k) and k >= _TREE_INTERP_MIN:
+        from .multipoint import interpolate_tree
+
+        coeffs = interpolate_tree(
+            L.ints_to_mont(list(domain_ints)),
+            L.ints_to_mont(list(values_ints)),
+        )
+        return DPoly(coeffs)
     from ..field import Field
     from ..poly import Polynomial
 

@@ -153,15 +153,49 @@ def deserialize_items(data: bytes, field: Field) -> list[ProofItem]:
 
 
 class ProofStream:
-    """Append-only transcript with independent read cursor."""
+    """Append-only transcript with independent read cursor.
+
+    The wire encoding of every item is cached incrementally: the transcript
+    is append-only (``push`` is the only mutator), so each item is encoded
+    exactly once and every Fiat-Shamir draw — prover (full transcript) or
+    verifier (prefix up to ``read_index``) — reuses the running buffer
+    instead of re-serializing O(proof bytes) per challenge.  The produced
+    bytes are identical to :func:`digest_items` (pinned by the proof
+    fixture tests).
+    """
 
     def __init__(self, field: Field, items: Optional[list[ProofItem]] = None):
         self.field = field
         self.items: list[ProofItem] = list(items) if items else []
         self.read_index = 0
+        # incremental encoder state: records buffer, per-item end offsets,
+        # index of the first field-carrying item (the header depends on it
+        # and carrying is monotone once true)
+        self._enc_buf = bytearray()
+        self._enc_offsets: list[int] = [0]
+        self._first_carry: Optional[int] = None
 
     def push(self, item: ProofItem) -> None:
         self.items.append(item)
+
+    def _digest_prefix(self, k: int) -> bytes:
+        """Transcript digest of ``items[:k]``, from the incremental cache.
+
+        Byte-identical to ``digest_items(self.items[:k], self.field.order)``
+        (ref: proof_stream_enum.rs:161-190).
+        """
+        while len(self._enc_offsets) - 1 < k:
+            i = len(self._enc_offsets) - 1
+            code, payload, has_field = _item_to_bytes(self.items[i])
+            if has_field and self._first_carry is None:
+                self._first_carry = i
+            self._enc_buf += bytes([code])
+            self._enc_buf += len(payload).to_bytes(_U64, "big")
+            self._enc_buf += payload
+            self._enc_offsets.append(len(self._enc_buf))
+        carries = self._first_carry is not None and self._first_carry < k
+        header = (self.field.order if carries else 0).to_bytes(_U128, "big")
+        return header + bytes(self._enc_buf[: self._enc_offsets[k]])
 
     def pull(self) -> ProofItem:
         assert self.read_index < len(self.items), "cannot pull, queue is empty"
@@ -199,7 +233,7 @@ class ProofStream:
     # -- serialization / Fiat-Shamir ----------------------------------------
 
     def digest(self) -> bytes:
-        return digest_items(self.items, self.field.order)
+        return self._digest_prefix(len(self.items))
 
     def serialize(self) -> bytes:
         return self.digest()
@@ -215,7 +249,7 @@ class ProofStream:
         return shake256(self._fs_input(self.digest()), num_bytes)
 
     def fiat_shamir_verifier(self, num_bytes: int) -> bytes:
-        partial = digest_items(self.items[: self.read_index], self.field.order)
+        partial = self._digest_prefix(self.read_index)
         return shake256(self._fs_input(partial), num_bytes)
 
 
