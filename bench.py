@@ -412,6 +412,11 @@ def bench_rescue_batch() -> dict:
     inputs = L.ints_to_mont(list(range(b)))
     out = rp.hash_batch_device(inputs)
     dsync(out)  # compile
+    # hardware parity: the TPU plane-layout kernel vs host golden hashes
+    # (the CPU suite only exercises the column-layout kernel)
+    got = [int(v) for v in L.mont_to_ints(out[:4])]
+    want = [rp.hash(x) for x in range(4)]
+    assert got == want, f"device rescue diverged from host: {got} vs {want}"
     reps = 5
     t0 = time.time()
     for _ in range(reps):
@@ -666,6 +671,23 @@ def main() -> None:
     _RTT_MS = _measure_rtt()
     extras["dispatch_rtt_ms"] = round(_RTT_MS, 1)
     log(f"dispatch+fetch rtt: {_RTT_MS:.1f} ms")
+    if os.environ.get("BENCH_ONLY_CHAIN"):
+        # flagship-scale chain run only (BENCH_CHAIN_FULL=1 for 2^20):
+        # headline switches to the chain prove time
+        extras.update(bench_chain())
+        key = next(k for k in extras if k.endswith("_prove_ms"))
+        print(
+            json.dumps(
+                {
+                    "metric": key,
+                    "value": extras[key],
+                    "unit": "ms",
+                    "vs_baseline": 0.0,
+                    "extra": extras,
+                }
+            )
+        )
+        return
     _BW.update(bench_hbm_bw())
     extras.update(_BW)
     log(f"hbm: {extras}")

@@ -149,9 +149,9 @@ def child_main() -> None:
 
         client = _dist.global_state.client
         client.key_value_set(f"digest/{pid}", digest)
-        client.wait_at_barrier("digests_ready", 60_000)
+        client.wait_at_barrier("digests_ready", 1_800_000)
         digests = [
-            client.blocking_key_value_get(f"digest/{q}", 60_000)
+            client.blocking_key_value_get(f"digest/{q}", 1_800_000)
             for q in range(nproc)
         ]
         exchange = "coordinator_kv_store"
