@@ -52,6 +52,12 @@ def child_main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache:
+        # the env var alone does not activate the persistent cache on this
+        # image; the config.update path does (same as bench.py)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     try:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     except Exception as e:  # older builds: fall back to kv-store exchange
@@ -129,32 +135,21 @@ def child_main() -> None:
         f"{len(proof)} bytes, byte_identical={identical}"
     )
 
-    # cross-process digest exchange: device all-gather over the global mesh
-    exchange = None
-    digests = None
-    try:
-        import jax.numpy as jnp
-        from jax.experimental import multihost_utils
+    # cross-process digest exchange over the coordination service (the DCN
+    # control plane): set -> barrier -> get.  A device collective here can
+    # hang without a recoverable timeout if the peers are skewed, so the
+    # exchange uses the kv store; the barrier also synchronizes the
+    # processes before interpreter exit (the shutdown barrier is strict).
+    from jax._src import distributed as _dist
 
-        local = jnp.frombuffer(
-            bytes.fromhex(digest)[:32], dtype=jnp.uint8
-        )
-        gathered = multihost_utils.process_allgather(local)
-        digests = [bytes(bytearray(row_)).hex() for row_ in gathered]
-        exchange = "device_allgather"
-    except Exception as e:
-        log(f"[proc {pid}] device all-gather unavailable ({e!r}); "
-            "using coordinator kv-store")
-        from jax._src import distributed as _dist
-
-        client = _dist.global_state.client
-        client.key_value_set(f"digest/{pid}", digest)
-        client.wait_at_barrier("digests_ready", 1_800_000)
-        digests = [
-            client.blocking_key_value_get(f"digest/{q}", 1_800_000)
-            for q in range(nproc)
-        ]
-        exchange = "coordinator_kv_store"
+    client = _dist.global_state.client
+    client.key_value_set(f"digest/{pid}", digest)
+    client.wait_at_barrier("digests_ready", 1_800_000)
+    digests = [
+        client.blocking_key_value_get(f"digest/{q}", 1_800_000)
+        for q in range(nproc)
+    ]
+    exchange = "coordinator_kv_store"
 
     assert digests[pid] == digest[: len(digests[pid])]
     result = {
