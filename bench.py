@@ -196,7 +196,7 @@ def bench_montmul_micro() -> dict:
 
         from zk_stark_tpu.ops.ntt_pallas import mont_mul_planes
 
-        k_unroll = 8
+        k_unroll = 32
         rows = n // 128
 
         def kern(x_ref, o_ref):
@@ -222,12 +222,19 @@ def bench_montmul_micro() -> dict:
         planes = jnp.swapaxes(planes, 1, 2)  # [8, rows, 128]
         yp = g(planes)
         dsync(yp)
+        # amortize: dispatches queue asynchronously, ONE fetch at the end —
+        # a single 8-mul call (~0.5 ms) is invisible next to RTT noise
+        calls = 40
         best_p = float("inf")
-        for _ in range(5):
+        for _ in range(3):
             t0 = time.time()
-            yp = g(yp)
+            for _ in range(calls):
+                yp = g(yp)
             dsync(yp)
-            best_p = min(best_p, time.time() - t0 - _RTT_MS / 1000)
+            best_p = min(
+                best_p, (time.time() - t0 - _RTT_MS / 1000) / calls
+            )
+        assert best_p > 0, "montmul micro under transport noise floor"
         ns = best_p / (k_unroll * n) * 1e9
         out["montmul_plane_chain_ms"] = round(best_p * 1000, 3)
     except Exception as e:
@@ -263,12 +270,15 @@ def bench_blake2b_micro() -> dict:
     d0 = jnp.ones((2, 8, m), jnp.uint32)
     d = f(d0)
     dsync(d)
+    calls = 8
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        d = f(d0)
+        for _ in range(calls):
+            d = f(d)
         dsync(d)
-        best = min(best, time.time() - t0 - _RTT_MS / 1000)
+        best = min(best, (time.time() - t0 - _RTT_MS / 1000) / calls)
+    assert best > 0, "blake2b micro under transport noise floor"
     ns = best / (iters * m) * 1e9
     _CAL["blake2b_compression_ns"] = ns
     return {
@@ -467,7 +477,7 @@ def bench_fold_2p20() -> dict:
     kern = _fold_round_kernel(n)
     folded, canon = kern(cw, invpows, ao, two_inv)
     dsync(canon)
-    reps = 20
+    reps = 60  # ~0.5 ms/rep must dominate the ~30 ms RTT correction
     t0 = time.time()
     for _ in range(reps):
         folded, canon = kern(cw, invpows, ao, two_inv)

@@ -172,29 +172,36 @@ def _stage_twiddle_table(root_int: int, n: int) -> np.ndarray:
     return out
 
 
-def _ntt_stages_kernel(x_ref, tw_ref, ft_ref, o_ref, *, n: int, fuse_tw: bool):
-    """All log2(n) butterfly stages on one VMEM tile.
+def _ntt_stages_kernel(
+    x_ref, tw_ref, ft_ref, o_ref, *, n: int, fuse_tw: bool,
+    s_lo: int = 0, s_hi: int | None = None,
+):
+    """Butterfly stages [s_lo, s_hi) on one VMEM tile.
 
     x_ref/o_ref: [8, n, ctile] limb planes, rows bit-reversed on input.
     tw_ref: [8, log2n, n/2] per-stage twiddles.
-    ft_ref: [8, n, ctile] four-step twiddle tile (only when fuse_tw).
+    ft_ref: [8, n, ctile] four-step twiddle tile (only when fuse_tw,
+    applied after the LAST stage, i.e. when s_hi == log2n).
 
     Stages are unrolled at trace time (the reshape geometry changes per
-    stage).  Mosaic keeps most of the 10-stage dataflow live at once —
-    ~90 MB scoped VMEM at n=1024/ctile=128 — which FITS on v5e/v6e
-    (128 MB VMEM); round 1 failed only because the compiler-params limit
-    was set to 28 MB.  A constant-geometry (Pease) fori_loop variant that
-    bounds the live set to one stage was measured 3x slower (25 ms vs
-    8.7 ms at 2^20) due to per-stage sublane de-interleaves, so the
-    unrolled form is kept.
+    stage).  Mosaic keeps most of the stage dataflow live at once —
+    ~90 MB scoped VMEM for 10 stages at n=1024/ctile=128, which fits
+    v5e's 128 MB; row lengths ABOVE 1024 spill (measured 184 MB at
+    n=2048), so :func:`ntt_planes` splits such transforms into two
+    passes over a stage range.  A constant-geometry (Pease) fori_loop
+    variant that bounds the live set to one stage was measured 3x slower
+    (25 ms vs 8.7 ms at 2^20) due to per-stage sublane de-interleaves,
+    so the unrolled form is kept.
     """
     log2n = n.bit_length() - 1
+    if s_hi is None:
+        s_hi = log2n
     ctile = x_ref.shape[-1]
 
     for k in range(NLIMB):
         o_ref[k] = x_ref[k]
 
-    for s in range(log2n):
+    for s in range(s_lo, s_hi):
         h = 1 << s
         g = n // (2 * h)
         xr = [o_ref[k].reshape(g, 2 * h, ctile) for k in range(NLIMB)]
@@ -214,7 +221,7 @@ def _ntt_stages_kernel(x_ref, tw_ref, ft_ref, o_ref, *, n: int, fuse_tw: bool):
                 [lo[k], hi[k]], axis=1
             ).reshape(n, ctile)
 
-    if fuse_tw:
+    if fuse_tw and s_hi == log2n:
         x = [o_ref[k] for k in range(NLIMB)]
         ft = [ft_ref[k] for k in range(NLIMB)]
         out = mont_mul_planes(x, ft)
@@ -223,11 +230,16 @@ def _ntt_stages_kernel(x_ref, tw_ref, ft_ref, o_ref, *, n: int, fuse_tw: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _ntt_planes_call(n: int, c: int, ctile: int, fuse_tw: bool, interpret: bool):
+def _ntt_planes_call(
+    n: int, c: int, ctile: int, fuse_tw: bool, interpret: bool,
+    s_lo: int = 0, s_hi: int | None = None,
+):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     log2n = n.bit_length() - 1
+    if s_hi is None:
+        s_hi = log2n
     grid = (c // ctile,)
     data_spec = pl.BlockSpec(
         (NLIMB, n, ctile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
@@ -235,7 +247,9 @@ def _ntt_planes_call(n: int, c: int, ctile: int, fuse_tw: bool, interpret: bool)
     tw_spec = pl.BlockSpec(
         (NLIMB, log2n, n // 2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_ntt_stages_kernel, n=n, fuse_tw=fuse_tw)
+    kernel = functools.partial(
+        _ntt_stages_kernel, n=n, fuse_tw=fuse_tw, s_lo=s_lo, s_hi=s_hi
+    )
     if fuse_tw:
         in_specs = [data_spec, tw_spec, data_spec]
     else:
@@ -343,12 +357,19 @@ def _ft_planes(root_int: int, r: int, c: int):
         return _twiddle_matrix_cached(root_int, r, c).transpose(2, 0, 1)
 
 
+#: max butterfly stages per pallas pass: the unrolled 10-stage dataflow at
+#: ctile=128 is ~90 MB of scoped VMEM (fits v5e's 128 MB); 11 stages spill
+#: to 184 MB (measured OOM at 2^21/2^22 four-step rows)
+_MAX_STAGES_PER_PASS = 10
+
+
 def ntt_planes(x_planes, tw, ft=None, *, n: int):
     """Transform bit-reversed limb planes [8, n, c] along axis 1.
 
     ``tw``: [8, log2n, n/2] stage twiddles (:func:`_stage_twiddle_table`);
     ``ft``: optional [8, n, c] four-step twiddle multiplied in after the
-    last stage.
+    last stage.  Row lengths above 2^10 run as two stage-range passes
+    (one extra HBM round trip) to stay inside VMEM.
     """
     c = x_planes.shape[-1]
     ctile = min(_CTILE, c)
@@ -356,4 +377,16 @@ def ntt_planes(x_planes, tw, ft=None, *, n: int):
     fuse = ft is not None
     if ft is None:
         ft = jnp.zeros((NLIMB, 1, 1), dtype=jnp.uint32)
-    return _ntt_planes_call(n, c, ctile, fuse, INTERPRET)(x_planes, tw, ft)
+    log2n = n.bit_length() - 1
+    if log2n <= _MAX_STAGES_PER_PASS:
+        return _ntt_planes_call(n, c, ctile, fuse, INTERPRET)(
+            x_planes, tw, ft
+        )
+    mid = log2n // 2
+    dummy = jnp.zeros((NLIMB, 1, 1), dtype=jnp.uint32)
+    y = _ntt_planes_call(n, c, ctile, False, INTERPRET, 0, mid)(
+        x_planes, tw, dummy
+    )
+    return _ntt_planes_call(n, c, ctile, fuse, INTERPRET, mid, log2n)(
+        y, tw, ft
+    )
