@@ -294,29 +294,87 @@ def _stage_tw_dev(root_int: int, n: int):
         return jnp.asarray(_stage_twiddle_table(root_int, n))
 
 
+def _planes_long_ntt(planes, root_int: int, c: int):
+    """Length-c NTT along axis 1 of [8, c, B] planes for c > 2^10, itself
+    four-step-decomposed as c = a*b (a = 2^10 Pallas rows, b <= 2^10):
+    row transforms with root^b -> twiddle root^(k1*i2) -> transpose ->
+    row transforms with root^a.  Input must be in NATURAL order (this
+    function applies its own bit-reversals); output is natural order.
+    """
+    from .constpool import intern
+    from .ntt import _brev
+
+    p = L.P
+    a = 1 << _MAX_STAGES_PER_PASS
+    b = c // a
+    assert a * b == c and b >= 2
+    B = planes.shape[2]
+
+    tw_a = intern(
+        ("pallas_stage_tw", pow(root_int, b, p), a),
+        _stage_tw_dev(pow(root_int, b, p), a),
+    )
+    tw_b = intern(
+        ("pallas_stage_tw", pow(root_int, a, p), b),
+        _stage_tw_dev(pow(root_int, a, p), b),
+    )
+    ft = intern(
+        ("pallas_ft_tw", root_int, a, b), _ft_planes(root_int, a, b)
+    )  # [8, a, b]
+
+    x2 = planes.reshape(NLIMB, a, b * B)  # i = i1*b + i2, i2 merged w/ B
+    x2 = x2.reshape(NLIMB, a, b, B)
+    xb = jnp.take(x2, _brev(a), axis=1).reshape(NLIMB, a, b * B)
+    y = ntt_planes(xb, tw_a, None, n=a)  # i1 -> k1 per (i2, B) column
+    y4 = y.reshape(NLIMB, a, b, B)
+    tw = [ft[k][:, :, None] for k in range(NLIMB)]
+    y4 = jnp.stack(
+        mont_mul_planes([y4[k] for k in range(NLIMB)], tw)
+    )  # * root^(k1*i2)
+    yt = jnp.swapaxes(y4, 1, 2)  # [8, b, a, B]
+    yb = jnp.take(yt, _brev(b), axis=1).reshape(NLIMB, b, a * B)
+    z = ntt_planes(yb, tw_b, None, n=b)  # i2 -> k2
+    # output flat k = k1 + a*k2: axis1 (k2) is already the major component
+    return z.reshape(NLIMB, c, B)
+
+
 @functools.lru_cache(maxsize=None)
-def _four_step_pallas(n: int):
+def _four_step_pallas(n: int, root_int: int | None = None):
     """Jitted Pallas four-step NTT: [n, 8] natural order -> [n, 8].
 
     Same decomposition as ops.ntt._four_step_kernel (n = R*C, row NTT +
     twiddle + transpose + row NTT), with each row transform running all its
     butterfly stages in VMEM; only the bit-reverse gathers and the transposes
     touch HBM between stages.
+
+    Row lengths are capped at 2^10 (the fused kernel's VMEM tile limit:
+    2048-row tiles spill ~160 MB against v5e's 128 MB even stage-split, and
+    Pallas cannot shrink the lane tile below 128).  Beyond 2^20 total the
+    decomposition goes unbalanced (r = 2^10, c = n/2^10) and the LONG
+    c-length pass recurses through :func:`_planes_long_ntt` (c = 2^10 * b),
+    so every butterfly still runs in the fused VMEM kernel; ``root_int``
+    is required (and part of the cache key) for that path because the
+    recursion's twiddle tables are baked per root.
     """
     logn = n.bit_length() - 1
-    r = 1 << ((logn + 1) // 2)
+    r = 1 << min((logn + 1) // 2, _MAX_STAGES_PER_PASS)
     c = n // r
+    long_cols = c > (1 << _MAX_STAGES_PER_PASS)
+    root_c = pow(root_int, r, L.P) if long_cols else None
 
     def kernel(x, brev_r, brev_c, tw_r, tw_c, ft):
         x2 = x.reshape(r, c, NLIMB)
         xb = jnp.take(x2, brev_r, axis=0)
         planes = xb.transpose(2, 0, 1)                  # [8, r, c]
         y = ntt_planes(planes, tw_r, ft, n=r)           # i1 -> k1, * w^(k1*i2)
-        yt = jnp.take(y.transpose(0, 2, 1), brev_c, axis=1)
-        z = ntt_planes(yt, tw_c, None, n=c)             # i2 -> k2
+        if long_cols:
+            z = _planes_long_ntt(y.transpose(0, 2, 1), root_c, c)
+        else:
+            yt = jnp.take(y.transpose(0, 2, 1), brev_c, axis=1)  # [8, c, r]
+            z = ntt_planes(yt, tw_c, None, n=c)         # i2 -> k2
         return z.transpose(1, 2, 0).reshape(n, NLIMB)   # flat k = k1 + r*k2
 
-    return jax.jit(kernel), r, c
+    return jax.jit(kernel), r, c, long_cols
 
 
 def ntt_mont_pallas(x, root_int: int):
@@ -333,16 +391,21 @@ def ntt_mont_pallas(x, root_int: int):
         f"ntt_mont_pallas requires a power-of-two length >= 4, got {n} "
         "(pad with ops.ntt._pad_pow2 or use ops.ntt.ntt_mont)"
     )
-    kern, r, c = _four_step_pallas(n)
+    logn = n.bit_length() - 1
+    long_root = root_int if logn > 2 * _MAX_STAGES_PER_PASS else None
+    kern, r, c, long_cols = _four_step_pallas(n, long_root)
     p = L.P
     tw_r = intern(
         ("pallas_stage_tw", pow(root_int, c, p), r),
         _stage_tw_dev(pow(root_int, c, p), r),
     )
-    tw_c = intern(
-        ("pallas_stage_tw", pow(root_int, r, p), c),
-        _stage_tw_dev(pow(root_int, r, p), c),
-    )
+    if long_cols:
+        tw_c = jnp.zeros((NLIMB, 1, 1), dtype=jnp.uint32)
+    else:
+        tw_c = intern(
+            ("pallas_stage_tw", pow(root_int, r, p), c),
+            _stage_tw_dev(pow(root_int, r, p), c),
+        )
     ft = intern(
         ("pallas_ft_tw", root_int, r, c), _ft_planes(root_int, r, c)
     )
@@ -374,19 +437,12 @@ def ntt_planes(x_planes, tw, ft=None, *, n: int):
     c = x_planes.shape[-1]
     ctile = min(_CTILE, c)
     assert c % ctile == 0
+    assert n <= 1 << _MAX_STAGES_PER_PASS, (
+        f"fused-stage kernel supports rows <= 2^{_MAX_STAGES_PER_PASS} "
+        "(VMEM tile limit); longer transforms go through the hybrid "
+        "four-step in ntt_mont_pallas"
+    )
     fuse = ft is not None
     if ft is None:
         ft = jnp.zeros((NLIMB, 1, 1), dtype=jnp.uint32)
-    log2n = n.bit_length() - 1
-    if log2n <= _MAX_STAGES_PER_PASS:
-        return _ntt_planes_call(n, c, ctile, fuse, INTERPRET)(
-            x_planes, tw, ft
-        )
-    mid = log2n // 2
-    dummy = jnp.zeros((NLIMB, 1, 1), dtype=jnp.uint32)
-    y = _ntt_planes_call(n, c, ctile, False, INTERPRET, 0, mid)(
-        x_planes, tw, dummy
-    )
-    return _ntt_planes_call(n, c, ctile, fuse, INTERPRET, mid, log2n)(
-        y, tw, ft
-    )
+    return _ntt_planes_call(n, c, ctile, fuse, INTERPRET)(x_planes, tw, ft)
