@@ -673,11 +673,26 @@ def bench_chain() -> dict:
 #: measured HBM bandwidth, filled by main() before the kernel benches
 _BW: dict = {}
 
+#: wall-clock start + budget (seconds): the driver kills `python bench.py`
+#: after an undocumented cap (~20-30 min observed; the r4 record died at
+#: rc=124 with NOTHING parsed because the single headline line printed only
+#: after every section).  The fix is structural: the headline JSON prints as
+#: soon as the mandatory suite + RPSSS are measured, expensive optional
+#: sections run only while the internal budget allows, and the process
+#: always exits 0 well inside the cap.
+_START = time.time()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _START)
+
 
 def main() -> None:
     global _RTT_MS
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()}  (budget {_BUDGET_S:.0f} s)")
     extras = {}
+    skipped: list[str] = []
     _RTT_MS = _measure_rtt()
     extras["dispatch_rtt_ms"] = round(_RTT_MS, 1)
     log(f"dispatch+fetch rtt: {_RTT_MS:.1f} ms")
@@ -698,43 +713,46 @@ def main() -> None:
             )
         )
         return
-    _BW.update(bench_hbm_bw())
-    extras.update(_BW)
-    log(f"hbm: {extras}")
-    extras.update(bench_montmul_micro())
-    log(f"montmul micro: {extras}")
-    try:
-        extras.update(bench_blake2b_micro())
-        log(f"blake2b micro: {extras}")
-    except Exception as e:  # pallas path needs an accelerator
-        log(f"blake2b micro failed: {e!r}")
-    extras.update(bench_ntt_2p20())
-    log(f"ntt: {extras}")
-    if not os.environ.get("BENCH_SKIP_NTT_SWEEP"):
+
+    #: seconds reserved for the RPSSS headline section (cold compiles incl.)
+    reserve = 420.0
+
+    def section(name: str, fn, est: float, required: bool = False):
+        """Run one kernel-suite section unless it would eat into the RPSSS
+        reserve; failures are logged, never fatal (the headline must print
+        regardless)."""
+        if not required and _remaining() - est < reserve:
+            log(f"section {name} skipped ({est:.0f}s est vs "
+                f"{_remaining():.0f}s left, {reserve:.0f}s reserved)")
+            skipped.append(name)
+            return
+        t0 = time.time()
         try:
-            extras.update(bench_ntt_sweep())
+            extras.update(fn())
+            log(f"{name} [{time.time() - t0:.0f}s]: {extras}")
         except SystemExit:
             raise
         except Exception as e:
-            log(f"ntt sweep failed: {e!r}")
-    extras.update(bench_fold_2p20())
-    log(f"fold: {extras}")
-    extras.update(bench_rescue_batch())
-    log(f"rescue: {extras}")
-    try:
-        extras.update(bench_merkle_2p18())
-        log(f"merkle: {extras}")
-    except Exception as e:  # best-effort (device path needs an accelerator)
-        log(f"merkle bench failed: {e!r}")
-    if not os.environ.get("BENCH_SKIP_CHAIN"):
-        try:
-            extras.update(bench_chain())
-            log(f"chain: {extras}")
-        except Exception as e:  # chain bench is best-effort
-            log(f"chain bench failed: {e!r}")
+            log(f"section {name} failed after {time.time() - t0:.0f}s: {e!r}")
+            skipped.append(name + ":failed")
+
+    def _hbm():
+        _BW.update(bench_hbm_bw())
+        return _BW
+
+    section("hbm", _hbm, 40)
+    section("montmul_micro", bench_montmul_micro, 60)
+    section("blake2b_micro", bench_blake2b_micro, 40)
+    section("ntt_2p20", bench_ntt_2p20, 180)
+    section("fold_2p20", bench_fold_2p20, 60)
+    section("rescue", bench_rescue_batch, 120)
+    section("merkle", bench_merkle_2p18, 120)
+
+    rp = {}
+    t0 = time.time()
     rp = bench_rpsss()
     extras.update(rp)
-    log(f"rpsss: {rp}")
+    log(f"rpsss [{time.time() - t0:.0f}s]: {rp}")
 
     # calibrated-roofline sanity (VERDICT r3 item 2): a kernel cannot beat
     # its own measured speed-of-light; >108% means the model is wrong again
@@ -744,6 +762,9 @@ def main() -> None:
         if k.endswith("_pct_sol") and v > 108
     }
     assert not bad, f"roofline miscalibrated, kernels above SoL: {bad}"
+
+    if skipped:
+        extras["skipped_sections"] = skipped
 
     baseline_sign_ms = 18913.0  # ref: rpsss.rs:97 (NTT fast path)
     value = rp["sign_ms"]
@@ -758,6 +779,41 @@ def main() -> None:
             }
         )
     )
+    sys.stdout.flush()
+
+    # ---- optional sections: AFTER the headline line, budget-gated, results
+    # to a side artifact (stdout stays one JSON line for the driver) --------
+    cold = extras.get("sign_cold_ms", 0) > 20000  # transport compiling cold?
+    optional = []
+    if not os.environ.get("BENCH_SKIP_NTT_SWEEP"):
+        optional.append(("ntt_sweep", bench_ntt_sweep, 500 if cold else 150))
+    if not os.environ.get("BENCH_SKIP_CHAIN"):
+        optional.append(("chain", bench_chain, 900 if cold else 300))
+    side = {}
+    for name, fn, est in optional:
+        if _remaining() < est:
+            log(f"optional {name} skipped ({est:.0f}s est vs "
+                f"{_remaining():.0f}s left)")
+            skipped.append("optional:" + name)
+            continue
+        t0 = time.time()
+        try:
+            side.update(fn())
+            log(f"optional {name} [{time.time() - t0:.0f}s]")
+        except SystemExit as e:
+            log(f"optional {name} validation failure: {e}")
+            skipped.append(f"optional:{name}:invalid")
+        except Exception as e:
+            log(f"optional {name} failed after {time.time() - t0:.0f}s: {e!r}")
+            skipped.append(f"optional:{name}:failed")
+    if side or skipped:
+        side["skipped_sections"] = skipped
+        side["headline"] = {"metric": "rpsss_sign_ms", "value": value}
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_EXTRAS.json")
+        with open(path, "w") as f:
+            json.dump(side, f, indent=1)
+        log(f"optional-section results -> {path}")
 
 
 if __name__ == "__main__":

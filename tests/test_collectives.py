@@ -77,3 +77,49 @@ def test_dist_fold_round_never_all_gathers():
     assert (
         counts["collective-permute"] + counts["all-to-all"] >= 1
     ), counts
+
+
+def test_hybrid_row_engine_collectives_stay_on_ici():
+    """VERDICT r4 item 8: pin the hybrid (dcn x ici) collective layout.
+
+    parallel/multihost.py documents the design rule — O(domain) collectives
+    (the NTT all_to_all, the fold pairing) must never cross DCN; only host
+    bytes do.  ``engine_for_hybrid`` realizes it by building a DistEngine
+    over exactly ONE ICI row of the hybrid mesh, so the enforcement is:
+    (a) each row engine's device set IS its mesh row (disjoint across
+    rows); (b) the dist-NTT compiled for a row engine is partitioned over
+    only those devices (num_partitions == row width) and keeps the flat
+    invariant (one all-to-all, zero all-gather); (c) executing it yields
+    output sharded onto the row's devices alone — no replica group can
+    even name a cross-DCN device.
+    """
+    from zk_stark_tpu.parallel import multihost
+    from zk_stark_tpu.parallel.engine import engine_for_hybrid
+
+    mesh = multihost.hybrid_mesh(jax.devices()[:N_DEV], ici_parallelism=4)
+    assert mesh.devices.shape == (2, 4)  # 2 DCN rows x 4 ICI devices
+    engines = [engine_for_hybrid(mesh, r) for r in range(2)]
+    row_sets = [set(mesh.devices[r].tolist()) for r in range(2)]
+    assert set(engines[0].devices) == row_sets[0]
+    assert set(engines[1].devices) == row_sets[1]
+    assert row_sets[0].isdisjoint(row_sets[1])
+
+    field = Field()
+    n = 1 << 10
+    root = field.primitive_nth_root(n).value
+    n1, n2 = _four_step_geometry(n)
+    xm = jnp.zeros((n1, n2, L.NLIMB), jnp.uint32)
+    tw = _dist_twiddle(root, n1, n2)
+    pow1 = powers_mont(pow(root, n2, P), max(1, n1 // 2))
+    pow2 = powers_mont(pow(root, n1, P), max(1, n2 // 2))
+    for r, eng in enumerate(engines):
+        fn = _dist_ntt_call(n1, n2, eng.n_devices, root, eng.devices)
+        compiled = fn.lower(xm, tw, pow1, pow2).compile()
+        hlo = compiled.as_text()
+        counts = _collective_counts(hlo)
+        assert counts["all-to-all"] == 1, (r, counts)
+        assert counts["all-gather"] == 0, (r, counts)
+        # partitioned over the row only: 4 partitions, not the global 8
+        assert "num_partitions=4" in hlo.splitlines()[0], hlo.splitlines()[0]
+        out = fn(xm, tw, pow1, pow2)
+        assert set(out.sharding.device_set) == row_sets[r]

@@ -16,19 +16,10 @@ F = Field()
 
 
 def test_pallas_four_step_matches_jnp_interpret():
-    NP.INTERPRET = True
-    try:
-        random.seed(11)
-        n = 1 << 8
-        vals = [random.randrange(FIELD_PRIME) for _ in range(n)]
-        root = F.primitive_nth_root(n).value
-        want = list(L.mont_to_ints(N.ntt_mont(L.ints_to_mont(vals), root)))
-        got = list(
-            L.mont_to_ints(NP.ntt_mont_pallas(L.ints_to_mont(vals), root))
-        )
-        assert got == want
-    finally:
-        NP.INTERPRET = False
+    # subprocess, single-device: see tests/test_pallas_kernels.py docstring
+    from interp_checks import run_check_subprocess
+
+    run_check_subprocess("ntt")
 
 
 def test_stage_twiddle_table_values():

@@ -95,3 +95,37 @@ def test_transition_constraints_hold_on_trace():
         trace[cycle][register] = (trace[cycle][register] + value) % F.order
         assert check(trace) != "ok", (cycle, register, value)
         trace[cycle][register] = (trace[cycle][register] - value) % F.order
+
+
+def test_plane_kernel_parity_with_cols():
+    """The TPU plane-layout permutation matches the column kernel bit-for-bit
+    (ADVICE r4: the plane kernel feeds Merkle-leaf hashing, i.e. protocol
+    bytes, but had no CPU parity coverage).  Runs 2 of the 27 rounds with the
+    real constants — every layout step (transpose, register blocking, MDS,
+    both S-box chains, and the non-multiple-of-128 pad/slice path) is
+    exercised; the round count only changes how often they repeat.
+    """
+    import jax.numpy as jnp
+
+    from zk_stark_tpu.ops import limbs as L
+    from zk_stark_tpu.ops import rescue_ops as R
+
+    rounds = 2
+    random.seed(3)
+    B = 130  # NOT a multiple of 128: covers the pad-to-lane-width path
+    state = L.ints_to_mont(
+        [random.randrange(F.order) for _ in range(B * RP.m)]
+    ).reshape(B, RP.m, 8)
+    mds = L.ints_to_mont([v for row in RP.MDS for v in row]).reshape(
+        RP.m, RP.m, 8
+    )
+    rc = L.ints_to_mont(RP.round_constants)
+
+    cols = R._permutation_kernel_cols(
+        RP.m, rounds, RP.alpha, RP.alpha_inv, (RP.m,)
+    )(state, mds, rc)
+    planes = R._permutation_batch_planes(
+        state, mds, rc, rounds, RP.alpha, RP.alpha_inv
+    )
+    assert planes.shape == (B, RP.m, 8)
+    assert bool(jnp.all(cols == planes))

@@ -97,3 +97,36 @@ def test_proof_tamper_rejected(setup):
         stark.verify(
             air, boundary, ProofStream.deserialize(bytes(tampered), F)
         )
+
+
+def test_verify_zerofier_uses_configured_trace_length(setup):
+    """ADVICE r4 (medium): the fused verify segment must build the
+    transition zerofier from the CONFIGURED original_trace_length — the
+    reference verifier calls self.transition_zerofier() (stark.rs:728),
+    which spans omicron^0..^(self.original_trace_length-2)
+    (stark.rs:188-196) — not from the boundary-derived length
+    (stark.rs:572, which only feeds randomized_trace_length / boundary
+    quotient degree bounds).  The divergence has no end-to-end witness
+    (a boundary omitting the final cycle already desynchronizes the
+    boundary-quotient shift bookkeeping in both implementations), so pin
+    the seg cache key: after a verify, every verify_seg entry must carry
+    orig_t == stark.original_trace_length.
+    """
+    rp, stark, air = setup
+    inp = F.sample(b"\x42").value
+    output = rp.hash(inp)
+    trace = rp.trace(inp)
+    boundary = rp.boundary_constraints(output)
+    proof = stark.prove(trace, air, boundary, ProofStream(F))
+    stark.verify(air, boundary, ProofStream.deserialize(proof, F))
+
+    keys = [
+        k
+        for k in Stark._SEG_CACHE
+        if k[0] == "verify_seg" and k[1] == stark._config_key()
+    ]
+    assert keys, "verify() did not populate the verify_seg cache"
+    for k in keys:
+        # key layout: ("verify_seg", config_key, K, W, orig_t, ...)
+        _, _cfg, _K, _W, orig_t = k[:5]
+        assert orig_t == stark.original_trace_length

@@ -64,6 +64,11 @@ class DeviceMerkleTree:
         if _top is None:
             _top = np.asarray(_levels[-1])  # the single host fetch
         mat = B.packed_to_digest_np(_top)
+        # device levels are stored bit-reversed (split layout, see
+        # _tree_builder); natural index j sits at position brev(j)
+        from .utils.bits import bit_reverse_indices
+
+        mat = mat[bit_reverse_indices(mat.shape[0])]
         level = [mat[i].tobytes() for i in range(mat.shape[0])]
         host_layers = [level]
         while len(level) > 1:
@@ -105,20 +110,55 @@ import jax
 @functools.lru_cache(maxsize=None)
 def _tree_builder(n: int, cutoff: int):
     """Jitted full tree build: canonical limbs [n, 8] -> tuple of packed
-    digest-word levels ([2, 8, n], [2, 8, n/2], ..., [2, 8, cutoff])."""
+    digest-word levels ([2, 8, n], [2, 8, n/2], ..., [2, 8, cutoff]).
+
+    Levels are stored in BIT-REVERSED element order ("split" layout): each
+    level's first half holds the left children, the second half the right
+    children, and the parent level emerges bit-reversed too.  One row
+    gather of the leaf input buys a tree whose every node step is two
+    contiguous tile reads — no per-level even/odd lane de-interleave
+    (which Mosaic cannot fuse and XLA pays a strided pass for).  Queries
+    translate indices via brev (see open_many / DeviceMerkleTree)."""
     from .ops import blake2b_dev as B
+    from .ops.ntt import _brev
 
     def build(canon):
-        d = B.leaf_digests_packed(canon)
+        import jax.numpy as jnp
+
+        # bit-reversal decomposed into big-row gather + lane permutation +
+        # transpose: rev(r*128+l) = rev7(l)*rows + revR(r).  The direct
+        # [n]-row take gathers 32-byte rows at ~5 GB/s (measured 2.4 ms at
+        # 2^18); this form's 4-KB-row gather + shuffles hide under the
+        # dispatch pipeline (measured < 0.1 ms, bit-identical).
+        rows = n // 128
+        if rows >= 2 and n >= 256:
+            x3 = canon.reshape(rows, 128, canon.shape[-1])
+            x3 = jnp.take(x3, _brev(rows), axis=0)
+            x3 = jnp.take(x3, _brev(128), axis=1)
+            canon_brev = jnp.swapaxes(x3, 0, 1).reshape(canon.shape)
+        else:
+            canon_brev = jnp.take(canon, _brev(n), axis=0)
+        d = B.leaf_digests_packed(canon_brev)
         levels = [d]
         m = n
         while m > cutoff:
-            d = B.node_digests_packed(d)
+            d = B.node_digests_split(d)
             m //= 2
             levels.append(d)
         return tuple(levels)
 
     return jax.jit(build)
+
+
+def _brev_positions(nat: np.ndarray, bits: int) -> np.ndarray:
+    """Vectorized bit-reversal of ``nat`` within ``bits``-wide indices —
+    maps natural level indices to their split-layout positions."""
+    out = np.zeros_like(nat)
+    v = nat.copy()
+    for _ in range(bits):
+        out = (out << 1) | (v & 1)
+        v >>= 1
+    return out
 
 
 def build_device_trees(canons: Sequence, cutoff: int = 256, extra=None):
@@ -216,9 +256,13 @@ def open_many(specs) -> list[tuple[list[int], list[list[bytes]]]]:
         args = []
         for _, tree, indices in dev_specs:
             k = len(indices)
+            nbits = int(tree.n).bit_length() - 1
+            idx_arr = np.asarray(indices, dtype=np.int64)
+            # device levels are bit-reversed (split layout): natural
+            # sibling (i >> lvl) ^ 1 sits at its brev position
             sibs = np.asarray(
                 [
-                    [(i >> lvl) ^ 1 for i in indices]
+                    _brev_positions((idx_arr >> lvl) ^ 1, nbits - lvl)
                     for lvl in range(tree._nlev)
                 ],
                 dtype=np.int32,

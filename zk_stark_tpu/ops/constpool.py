@@ -61,6 +61,54 @@ def intern(key, arr):
     return ctx.intern(key, arr)
 
 
+def build_pooled(fn: Callable):
+    """Run a zero-argument table builder as ONE compiled program.
+
+    For the lru-cached device-table builders (zerofier/cumprod/h-table/...):
+    the former op-by-op eager build cost a ~0.4 s XLA compile plus a
+    transport dispatch *per op* on the remote backend — measured as the
+    dominant share of cold-start wall time (r5, jax_log_compiles).
+
+    Must be safe under an ambient ``jax.ensure_compile_time_eval()`` (the
+    builders are reachable from inside jit/shard_map traces): that context
+    is just ``config.eager_constant_folding(True)``, which would make the
+    *discovery* trace execute fn eagerly op-by-op — exactly the cost this
+    helper removes — so discovery explicitly disables it.  The single
+    compiled program is then invoked under ``ensure_compile_time_eval`` so
+    the result is concrete even when first reached during an outer trace.
+    Tables touched via :func:`intern` enter as runtime arguments, never HLO
+    constants (the remote-compile transport rejects huge programs).
+    """
+    rec = _Recorder()
+    tok = _ACTIVE.set(rec)
+    try:
+        try:
+            from jax._src.config import eager_constant_folding
+        except ImportError:  # future-jax fallback: plain abstract trace
+            import contextlib
+
+            def eager_constant_folding(_):
+                return contextlib.nullcontext()
+
+        with eager_constant_folding(False):
+            jax.eval_shape(fn)
+    finally:
+        _ACTIVE.reset(tok)
+    keys = tuple(rec.keys)
+    consts = tuple(rec.arrays)
+
+    def inner(consts_tuple):
+        binder = _Binder(dict(zip(keys, consts_tuple)))
+        tok2 = _ACTIVE.set(binder)
+        try:
+            return fn()
+        finally:
+            _ACTIVE.reset(tok2)
+
+    with jax.ensure_compile_time_eval():
+        return jax.jit(inner)(consts)
+
+
 def pooled_jit(fn: Callable) -> Callable:
     """jit ``fn`` with interned tables passed as arguments, not constants.
 

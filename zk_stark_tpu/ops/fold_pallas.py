@@ -128,4 +128,8 @@ def fold_round_pallas(n: int):
 
         return unplane(folded), unplane(canon)
 
-    return jax.jit(fn)
+    # interpret mode must NOT be jit-wrapped: jit inlines the pallas
+    # interpreter's blocked-loop machinery into one giant XLA-CPU program
+    # (measured r5: the n=1024 fold did not compile in 25 minutes, vs
+    # seconds when the interpret call runs eagerly)
+    return fn if INTERPRET else jax.jit(fn)

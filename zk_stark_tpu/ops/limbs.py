@@ -57,10 +57,16 @@ def int_to_limbs(x: int) -> np.ndarray:
 def ints_to_limbs(vals) -> np.ndarray:
     """Sequence of Python ints -> uint32[n, 8] (canonical domain).
 
-    Packs each (< 2^128) value's little-endian bytes and reinterprets them
-    as 16-bit limbs — ``int.to_bytes`` is a single C call per value, ~10x
-    faster than object-dtype numpy shifting (the prover's ``host_inputs``
-    stage is this conversion over the whole randomized trace).
+    Packs each value's little-endian bytes and reinterprets them as 16-bit
+    limbs — ``int.to_bytes`` is a single C call per value, ~10x faster than
+    object-dtype numpy shifting (the prover's ``host_inputs`` stage is this
+    conversion over the whole randomized trace).
+
+    Precondition: every value must satisfy ``0 <= v < 2^128``; out-of-range
+    or negative values raise ``OverflowError``.  Proof bytes can never
+    reach this (wire deserialization caps value payloads at 16 bytes), so
+    the exception only fires on programmatically constructed inputs —
+    callers feeding untrusted non-wire integers must range-check first.
     """
     vals = list(vals)
     buf = b"".join(int(v).to_bytes(16, "little") for v in vals)
@@ -109,7 +115,7 @@ def _raw_sub(a, b):
     for k in range(NLIMB):
         need = b[..., k] + borrow
         ak = a[..., k]
-        d = (ak | jnp.uint32(1 << LIMB_BITS)) - need  # lend a bit to avoid wrap
+        d = (ak | np.uint32(1 << LIMB_BITS)) - need  # lend a bit to avoid wrap
         out.append(d & MASK)
         borrow = 1 - (d >> LIMB_BITS)
     return jnp.stack(out, axis=-1), borrow
@@ -120,8 +126,8 @@ def _sub_p(a):
     out = []
     borrow = jnp.zeros_like(a[..., 0])
     for k in range(NLIMB):
-        need = jnp.uint32(P_LIMBS[k]) + borrow
-        d = (a[..., k] | jnp.uint32(1 << LIMB_BITS)) - need
+        need = np.uint32(P_LIMBS[k]) + borrow
+        d = (a[..., k] | np.uint32(1 << LIMB_BITS)) - need
         out.append(d & MASK)
         borrow = 1 - (d >> LIMB_BITS)
     return jnp.stack(out, axis=-1), borrow
@@ -131,7 +137,7 @@ def _add_p(a):
     out = []
     carry = jnp.zeros_like(a[..., 0])
     for k in range(NLIMB):
-        s = a[..., k] + jnp.uint32(P_LIMBS[k]) + carry
+        s = a[..., k] + np.uint32(P_LIMBS[k]) + carry
         out.append(s & MASK)
         carry = s >> LIMB_BITS
     return jnp.stack(out, axis=-1), carry
@@ -179,8 +185,8 @@ def mont_mul(a, b):
     Column bounds: initial columns < 16*2^16 = 2^20; each of the 8 REDC steps
     adds < 2^17 + small carry, so columns stay < 2^22 << 2^32.
     """
-    az = a[..., 0] * jnp.uint32(0)  # broadcast-shaped zero
-    t = [az + b[..., 0] * jnp.uint32(0) for _ in range(2 * NLIMB + 1)]
+    az = a[..., 0] * np.uint32(0)  # broadcast-shaped zero
+    t = [az + b[..., 0] * np.uint32(0) for _ in range(2 * NLIMB + 1)]
 
     # Schoolbook product into 16-bit columns (lo/hi split keeps sums small).
     for i in range(NLIMB):
@@ -192,9 +198,9 @@ def mont_mul(a, b):
 
     # Digit-serial REDC: clear the low 8 digits.
     for k in range(NLIMB):
-        m = (t[k] * jnp.uint32(NPRIME)) & MASK
+        m = (t[k] * np.uint32(NPRIME)) & MASK
         for j in range(NLIMB):
-            mp = m * jnp.uint32(P_LIMBS[j])
+            mp = m * np.uint32(P_LIMBS[j])
             t[k + j] = t[k + j] + (mp & MASK)
             t[k + j + 1] = t[k + j + 1] + (mp >> LIMB_BITS)
         # t[k] is now == 0 (mod 2^16); push its carry up.

@@ -49,21 +49,28 @@ def pow_by_exponents(acc, basepows, exps, nbits: int):
     return jax.lax.fori_loop(0, nbits, body, acc)
 
 
-def host_base_pows(base_int: int, nbits: int) -> jax.Array:
-    """Montgomery [nbits, 8] array of base^(2^k) (host-precomputed scalars)."""
+def host_base_pows(base_int: int, nbits: int) -> np.ndarray:
+    """Montgomery [nbits, 8] HOST array of base^(2^k).
+
+    Stays numpy (callers pass it as a jit argument): materializing it as a
+    device array here would cost an eager upload+fetch round trip per
+    cached table instance."""
     out, b = [], base_int % L.P
     for _ in range(nbits):
-        out.append(b)
+        out.append(b * L.R_INT % L.P)
         b = b * b % L.P
-    return L.ints_to_mont(out)
+    return L.ints_to_limbs(out)
 
 
 @functools.lru_cache(maxsize=None)
 def _powers_kernel(n: int, nbits: int):
-    idx = jnp.arange(n, dtype=jnp.uint32)
-
-    def kernel(acc, basepows):
-        return pow_by_exponents(acc, basepows, idx, nbits)
+    def kernel(scale_col, basepows):
+        # index vector and broadcast built INSIDE the program: the former
+        # eager arange/broadcast cost one XLA compile + transport dispatch
+        # per op on the remote backend (r5 cold-start profile)
+        idx = jax.lax.iota(jnp.uint32, n)
+        init = jnp.broadcast_to(scale_col, (n, L.NLIMB))
+        return pow_by_exponents(init, basepows, idx, nbits)
 
     return jax.jit(kernel)
 
@@ -77,9 +84,10 @@ def _powers_mont_cached(base_int: int, n: int, scale_int: int) -> jax.Array:
     # inside shard_map bodies); the table must be computed concretely so the
     # lru_cache never captures a tracer.
     with jax.ensure_compile_time_eval():
-        basepows_dev = host_base_pows(base_int, nbits)
-        init = jnp.broadcast_to(L.int_to_mont(scale_int), (n, L.NLIMB))
-        out = _powers_kernel(n, nbits)(init, basepows_dev)
+        out = _powers_kernel(n, nbits)(
+            np.asarray(L.int_to_limbs(scale_int * L.R_INT % L.P)),
+            host_base_pows(base_int, nbits),
+        )
         # re-materialize from host bytes: a table first computed during a
         # shard_map (Manual-mesh) trace otherwise caches a Manual-typed
         # aval that poisons every later jit trace mixing it with
@@ -121,8 +129,8 @@ def ntt_body(x, powtable, brev, n: int):
     x = jnp.take(x, brev, axis=0)
 
     def stage(s, x):
-        half = jnp.uint32(1) << s
-        tablestep = jnp.uint32(n) >> (s + 1)
+        half = np.uint32(1) << s
+        tablestep = np.uint32(n) >> (s + 1)
         partner = jnp.take(x, (idx ^ half).astype(jnp.int32), axis=0)
         is_even = ((idx & half) == 0)[expand]
         widx = ((idx & (half - 1)) * tablestep).astype(jnp.int32)
@@ -189,18 +197,32 @@ def _twiddle_matrix(root_int: int, r: int, c: int) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
+def _twiddle_kernel(r: int, c: int, nbits: int, planes: bool):
+    def kernel(basepows):
+        k1 = jax.lax.broadcasted_iota(jnp.uint32, (r, c), 0)
+        i2 = jax.lax.broadcasted_iota(jnp.uint32, (r, c), 1)
+        ones = jnp.broadcast_to(jnp.asarray(L.ONE_MONT), (r, c, L.NLIMB))
+        tw = pow_by_exponents(ones, basepows, k1 * i2, nbits)
+        return tw.transpose(2, 0, 1) if planes else tw
+
+    return jax.jit(kernel)
+
+
+def _twiddle_build(root_int: int, r: int, c: int, planes: bool) -> jax.Array:
+    """Montgomery twiddles root^(k1*i2) built as ONE jitted program (no
+    eager iota/broadcast/transpose ops): [r, c, 8], or [8, r, c] limb
+    planes when ``planes``."""
+    with jax.ensure_compile_time_eval():
+        nbits = max(1, (r * c - 1).bit_length())
+        return _twiddle_kernel(r, c, nbits, planes)(
+            host_base_pows(root_int, nbits)
+        )
+
+
+@functools.lru_cache(maxsize=None)
 def _twiddle_matrix_cached(root_int: int, r: int, c: int) -> jax.Array:
     """[r, c, 8] Montgomery twiddles root^(k1*i2) (cached)."""
-    with jax.ensure_compile_time_eval():
-        k1 = jnp.arange(r, dtype=jnp.uint32)[:, None]
-        i2 = jnp.arange(c, dtype=jnp.uint32)[None, :]
-        exps = k1 * i2
-        nbits = max(1, (r * c - 1).bit_length())
-        basepows = host_base_pows(root_int, nbits)
-        ones = jnp.broadcast_to(jnp.asarray(L.ONE_MONT), (r, c, L.NLIMB))
-        return jax.jit(
-            lambda o, b: pow_by_exponents(o, b, exps, nbits)
-        )(ones, basepows)
+    return _twiddle_build(root_int, r, c, False)
 
 
 @functools.lru_cache(maxsize=None)

@@ -52,7 +52,7 @@ def _add_planes(a, b):
 def _sub_planes(a, b):
     out, borrow = [], jnp.zeros_like(a[0])
     for k in range(NLIMB):
-        d = (a[k] | jnp.uint32(1 << LIMB_BITS)) - (b[k] + borrow)
+        d = (a[k] | np.uint32(1 << LIMB_BITS)) - (b[k] + borrow)
         out.append(d & MASK)
         borrow = 1 - (d >> LIMB_BITS)
     return out, borrow
@@ -61,8 +61,8 @@ def _sub_planes(a, b):
 def _sub_p_planes(a):
     out, borrow = [], jnp.zeros_like(a[0])
     for k in range(NLIMB):
-        d = (a[k] | jnp.uint32(1 << LIMB_BITS)) - (
-            jnp.uint32(L.P_LIMBS[k]) + borrow
+        d = (a[k] | np.uint32(1 << LIMB_BITS)) - (
+            np.uint32(L.P_LIMBS[k]) + borrow
         )
         out.append(d & MASK)
         borrow = 1 - (d >> LIMB_BITS)
@@ -72,7 +72,7 @@ def _sub_p_planes(a):
 def _add_p_planes(a):
     out, carry = [], jnp.zeros_like(a[0])
     for k in range(NLIMB):
-        s = a[k] + jnp.uint32(L.P_LIMBS[k]) + carry
+        s = a[k] + np.uint32(L.P_LIMBS[k]) + carry
         out.append(s & MASK)
         carry = s >> LIMB_BITS
     return out, carry
@@ -94,17 +94,17 @@ def sub_mod_planes(a, b):
 
 def mont_mul_planes(a, b):
     """Montgomery product on plane lists (same bounds as limbs.mont_mul)."""
-    az = a[0] * jnp.uint32(0)
-    t = [az + b[0] * jnp.uint32(0) for _ in range(2 * NLIMB + 1)]
+    az = a[0] * np.uint32(0)
+    t = [az + b[0] * np.uint32(0) for _ in range(2 * NLIMB + 1)]
     for i in range(NLIMB):
         for j in range(NLIMB):
             prod = a[i] * b[j]
             t[i + j] = t[i + j] + (prod & MASK)
             t[i + j + 1] = t[i + j + 1] + (prod >> LIMB_BITS)
     for k in range(NLIMB):
-        m = (t[k] * jnp.uint32(L.NPRIME)) & MASK
+        m = (t[k] * np.uint32(L.NPRIME)) & MASK
         for j in range(NLIMB):
-            mp = m * jnp.uint32(L.P_LIMBS[j])
+            mp = m * np.uint32(L.P_LIMBS[j])
             t[k + j] = t[k + j] + (mp & MASK)
             t[k + j + 1] = t[k + j + 1] + (mp >> LIMB_BITS)
         t[k + 1] = t[k + 1] + (t[k] >> LIMB_BITS)
@@ -125,12 +125,12 @@ def redc_planes(a):
     skips the schoolbook product (multiplying by 1 just copies the limbs
     into the columns), i.e. the canonical-form conversion at half cost.
     """
-    az = a[0] * jnp.uint32(0)
+    az = a[0] * np.uint32(0)
     t = [a[k] for k in range(NLIMB)] + [az] * (NLIMB + 1)
     for k in range(NLIMB):
-        m = (t[k] * jnp.uint32(L.NPRIME)) & MASK
+        m = (t[k] * np.uint32(L.NPRIME)) & MASK
         for j in range(NLIMB):
-            mp = m * jnp.uint32(L.P_LIMBS[j])
+            mp = m * np.uint32(L.P_LIMBS[j])
             t[k + j] = t[k + j] + (mp & MASK)
             t[k + j + 1] = t[k + j + 1] + (mp >> LIMB_BITS)
         t[k + 1] = t[k + 1] + (t[k] >> LIMB_BITS)
@@ -172,39 +172,81 @@ def _stage_twiddle_table(root_int: int, n: int) -> np.ndarray:
     return out
 
 
+#: butterfly stages below this half-width run in SELECT form (see kernel
+#: docstring); 8 = the VPU sublane tile height
+_SELECT_H = 8
+
+
 def _ntt_stages_kernel(
-    x_ref, tw_ref, ft_ref, o_ref, *, n: int, fuse_tw: bool,
-    s_lo: int = 0, s_hi: int | None = None,
+    x_ref, tw_ref, twe_ref, ft_ref, o_ref, *, n: int, fuse_tw: bool
 ):
-    """Butterfly stages [s_lo, s_hi) on one VMEM tile.
+    """All log2(n) butterfly stages on one VMEM tile.
 
     x_ref/o_ref: [8, n, ctile] limb planes, rows bit-reversed on input.
     tw_ref: [8, log2n, n/2] per-stage twiddles.
+    twe_ref: [8, 3, 8, 128] select-form early-stage twiddles
+    (twe[k, s, r, :] = tw[k, s, r & (2^s - 1)], see _early_tw_table).
     ft_ref: [8, n, ctile] four-step twiddle tile (only when fuse_tw,
-    applied after the LAST stage, i.e. when s_hi == log2n).
+    applied after the last stage).
 
     Stages are unrolled at trace time (the reshape geometry changes per
-    stage).  Mosaic keeps most of the stage dataflow live at once —
-    ~90 MB scoped VMEM for 10 stages at n=1024/ctile=128, which fits
-    v5e's 128 MB; row lengths ABOVE 1024 spill (measured 184 MB at
-    n=2048), so :func:`ntt_planes` splits such transforms into two
-    passes over a stage range.  A constant-geometry (Pease) fori_loop
-    variant that bounds the live set to one stage was measured 3x slower
-    (25 ms vs 8.7 ms at 2^20) due to per-stage sublane de-interleaves,
-    so the unrolled form is kept.
+    stage).  Two formulations per stage (r5 piecewise profile):
+
+    * h < 8: SELECT form — the [g, h, ctile] views of the slice form pad
+      their h-sized sublane axis to 8, costing 8x/4x/2x at h = 1/2/4;
+      instead the partner (row ^ h) is a static permutation of each
+      8-sublane group and one full-width multiply + mask covers the
+      butterfly without padding.
+    * h >= 8: SLICE form — contiguous even/odd row slices, one
+      concat+reshape reshuffle per stage.
+
+    A 16-register bundled variant (radix-16 data movement) was measured
+    3x SLOWER (strided register slices); a constant-geometry Pease
+    fori_loop likewise.  Row lengths above 2^10 spill VMEM and recurse
+    through :func:`_planes_long_ntt`.
     """
     log2n = n.bit_length() - 1
-    if s_hi is None:
-        s_hi = log2n
     ctile = x_ref.shape[-1]
+    n_sel = min(3, log2n) if n >= _SELECT_H and ctile == 128 else 0
+    g8 = n // 8
 
-    for k in range(NLIMB):
-        o_ref[k] = x_ref[k]
+    cur = [x_ref[k] for k in range(NLIMB)]  # [n, ctile] planes
 
-    for s in range(s_lo, s_hi):
+    if n_sel:
+        iota8 = jax.lax.broadcasted_iota(jnp.uint32, (g8, 8, ctile), 1)
+    for s in range(n_sel):
+        h = 1 << s
+        even = (iota8 & h) == 0
+        xr = [ck.reshape(g8, 8, ctile) for ck in cur]
+        # partner row r ^ h via two full-axis circular rolls + select: the
+        # wrapped lanes only land on rows the select discards
+        p = [
+            jnp.where(
+                even,
+                jnp.roll(ck, -h, axis=0).reshape(g8, 8, ctile),
+                jnp.roll(ck, h, axis=0).reshape(g8, 8, ctile),
+            )
+            for ck in cur
+        ]
+        w = [
+            jnp.broadcast_to(
+                twe_ref[k, s].reshape(1, 8, ctile), (g8, 8, ctile)
+            )
+            for k in range(NLIMB)
+        ]
+        sel = [jnp.where(even, pk, xk) for pk, xk in zip(p, xr)]
+        t = mont_mul_planes(sel, w)
+        added = add_mod_planes(xr, t)
+        subbed = sub_mod_planes(p, t)
+        cur = [
+            jnp.where(even, ak, sk).reshape(n, ctile)
+            for ak, sk in zip(added, subbed)
+        ]
+
+    for s in range(n_sel, log2n):
         h = 1 << s
         g = n // (2 * h)
-        xr = [o_ref[k].reshape(g, 2 * h, ctile) for k in range(NLIMB)]
+        xr = [ck.reshape(g, 2 * h, ctile) for ck in cur]
         even = [xk[:, :h, :] for xk in xr]
         odd = [xk[:, h:, :] for xk in xr]
         w = [
@@ -216,30 +258,24 @@ def _ntt_stages_kernel(
         t = mont_mul_planes(odd, w)
         hi = sub_mod_planes(even, t)
         lo = add_mod_planes(even, t)
-        for k in range(NLIMB):
-            o_ref[k] = jnp.concatenate(
-                [lo[k], hi[k]], axis=1
-            ).reshape(n, ctile)
+        cur = [
+            jnp.concatenate([lo[k], hi[k]], axis=1).reshape(n, ctile)
+            for k in range(NLIMB)
+        ]
 
-    if fuse_tw and s_hi == log2n:
-        x = [o_ref[k] for k in range(NLIMB)]
+    if fuse_tw:
         ft = [ft_ref[k] for k in range(NLIMB)]
-        out = mont_mul_planes(x, ft)
-        for k in range(NLIMB):
-            o_ref[k] = out[k]
+        cur = mont_mul_planes(cur, ft)
+    for k in range(NLIMB):
+        o_ref[k] = cur[k]
 
 
 @functools.lru_cache(maxsize=None)
-def _ntt_planes_call(
-    n: int, c: int, ctile: int, fuse_tw: bool, interpret: bool,
-    s_lo: int = 0, s_hi: int | None = None,
-):
+def _ntt_planes_call(n: int, c: int, ctile: int, fuse_tw: bool, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     log2n = n.bit_length() - 1
-    if s_hi is None:
-        s_hi = log2n
     grid = (c // ctile,)
     data_spec = pl.BlockSpec(
         (NLIMB, n, ctile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
@@ -247,16 +283,18 @@ def _ntt_planes_call(
     tw_spec = pl.BlockSpec(
         (NLIMB, log2n, n // 2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(
-        _ntt_stages_kernel, n=n, fuse_tw=fuse_tw, s_lo=s_lo, s_hi=s_hi
+    twe_spec = pl.BlockSpec(
+        (NLIMB, 3, 8, 128), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
+    kernel = functools.partial(_ntt_stages_kernel, n=n, fuse_tw=fuse_tw)
     if fuse_tw:
-        in_specs = [data_spec, tw_spec, data_spec]
+        in_specs = [data_spec, tw_spec, twe_spec, data_spec]
     else:
         # dummy 1-element four-step table keeps the kernel signature uniform
         in_specs = [
             data_spec,
             tw_spec,
+            twe_spec,
             pl.BlockSpec(
                 (NLIMB, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -266,10 +304,10 @@ def _ntt_planes_call(
     # pipeliner can double-buffer the 4 MB data tiles around the stage loop
     # (the loop body itself keeps one stage's temporaries live)
     params = None if interpret else pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024
+        vmem_limit_bytes=110 * 1024 * 1024
     )
 
-    def call(x_planes, tw, ft):
+    def call(x_planes, tw, twe, ft):
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -278,7 +316,7 @@ def _ntt_planes_call(
             out_specs=data_spec,
             interpret=interpret,
             compiler_params=params,
-        )(x_planes, tw, ft)
+        )(x_planes, tw, twe, ft)
 
     return call
 
@@ -292,6 +330,40 @@ _CTILE = 128
 def _stage_tw_dev(root_int: int, n: int):
     with jax.ensure_compile_time_eval():
         return jnp.asarray(_stage_twiddle_table(root_int, n))
+
+
+def _early_tw_table(tw_np: np.ndarray) -> np.ndarray:
+    """[8, log2n, n/2] stage table -> [8, 3, 8, 128] select-form early
+    twiddles: value at [k, s, r, :] = tw[k, s, r & (2^s - 1)] (the
+    period-2h twiddle pattern of stage s replicated over the lanes)."""
+    out = np.zeros((NLIMB, 3, 8, 128), dtype=np.uint32)
+    n_sel = min(3, tw_np.shape[1])
+    for s in range(n_sel):
+        h = 1 << s
+        for r in range(8):
+            out[:, s, r, :] = tw_np[:, s, r & (h - 1), None]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _early_tw_dev(root_int: int, n: int):
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(
+            _early_tw_table(_stage_twiddle_table(root_int, n))
+        )
+
+
+def _tw_pair(root_int: int, n: int):
+    """Interned (stage, early) twiddle tables for a length-n transform."""
+    from .constpool import intern
+
+    tw = intern(
+        ("pallas_stage_tw", root_int, n), _stage_tw_dev(root_int, n)
+    )
+    twe = intern(
+        ("pallas_early_tw", root_int, n), _early_tw_dev(root_int, n)
+    )
+    return tw, twe
 
 
 def _planes_long_ntt(planes, root_int: int, c: int):
@@ -310,14 +382,8 @@ def _planes_long_ntt(planes, root_int: int, c: int):
     assert a * b == c and b >= 2
     B = planes.shape[2]
 
-    tw_a = intern(
-        ("pallas_stage_tw", pow(root_int, b, p), a),
-        _stage_tw_dev(pow(root_int, b, p), a),
-    )
-    tw_b = intern(
-        ("pallas_stage_tw", pow(root_int, a, p), b),
-        _stage_tw_dev(pow(root_int, a, p), b),
-    )
+    tw_a, twe_a = _tw_pair(pow(root_int, b, p), a)
+    tw_b, twe_b = _tw_pair(pow(root_int, a, p), b)
     ft = intern(
         ("pallas_ft_tw", root_int, a, b), _ft_planes(root_int, a, b)
     )  # [8, a, b]
@@ -325,7 +391,7 @@ def _planes_long_ntt(planes, root_int: int, c: int):
     x2 = planes.reshape(NLIMB, a, b * B)  # i = i1*b + i2, i2 merged w/ B
     x2 = x2.reshape(NLIMB, a, b, B)
     xb = jnp.take(x2, _brev(a), axis=1).reshape(NLIMB, a, b * B)
-    y = ntt_planes(xb, tw_a, None, n=a)  # i1 -> k1 per (i2, B) column
+    y = ntt_planes(xb, tw_a, twe_a, None, n=a)  # i1 -> k1 per (i2, B) col
     y4 = y.reshape(NLIMB, a, b, B)
     tw = [ft[k][:, :, None] for k in range(NLIMB)]
     y4 = jnp.stack(
@@ -333,7 +399,7 @@ def _planes_long_ntt(planes, root_int: int, c: int):
     )  # * root^(k1*i2)
     yt = jnp.swapaxes(y4, 1, 2)  # [8, b, a, B]
     yb = jnp.take(yt, _brev(b), axis=1).reshape(NLIMB, b, a * B)
-    z = ntt_planes(yb, tw_b, None, n=b)  # i2 -> k2
+    z = ntt_planes(yb, tw_b, twe_b, None, n=b)  # i2 -> k2
     # output flat k = k1 + a*k2: axis1 (k2) is already the major component
     return z.reshape(NLIMB, c, B)
 
@@ -362,19 +428,22 @@ def _four_step_pallas(n: int, root_int: int | None = None):
     long_cols = c > (1 << _MAX_STAGES_PER_PASS)
     root_c = pow(root_int, r, L.P) if long_cols else None
 
-    def kernel(x, brev_r, brev_c, tw_r, tw_c, ft):
+    def kernel(x, brev_r, brev_c, tw_r, twe_r, tw_c, twe_c, ft):
         x2 = x.reshape(r, c, NLIMB)
         xb = jnp.take(x2, brev_r, axis=0)
         planes = xb.transpose(2, 0, 1)                  # [8, r, c]
-        y = ntt_planes(planes, tw_r, ft, n=r)           # i1 -> k1, * w^(k1*i2)
+        y = ntt_planes(planes, tw_r, twe_r, ft, n=r)    # i1 -> k1, * w^(k1*i2)
         if long_cols:
             z = _planes_long_ntt(y.transpose(0, 2, 1), root_c, c)
         else:
             yt = jnp.take(y.transpose(0, 2, 1), brev_c, axis=1)  # [8, c, r]
-            z = ntt_planes(yt, tw_c, None, n=c)         # i2 -> k2
+            z = ntt_planes(yt, tw_c, twe_c, None, n=c)  # i2 -> k2
         return z.transpose(1, 2, 0).reshape(n, NLIMB)   # flat k = k1 + r*k2
 
-    return jax.jit(kernel), r, c, long_cols
+    # interpret mode runs eagerly: jit-wrapping an interpret pallas call
+    # inlines the interpreter machinery into one giant XLA-CPU program
+    # (tens of minutes to compile, measured r5)
+    return (kernel if INTERPRET else jax.jit(kernel)), r, c, long_cols
 
 
 def ntt_mont_pallas(x, root_int: int):
@@ -395,29 +464,25 @@ def ntt_mont_pallas(x, root_int: int):
     long_root = root_int if logn > 2 * _MAX_STAGES_PER_PASS else None
     kern, r, c, long_cols = _four_step_pallas(n, long_root)
     p = L.P
-    tw_r = intern(
-        ("pallas_stage_tw", pow(root_int, c, p), r),
-        _stage_tw_dev(pow(root_int, c, p), r),
-    )
+    tw_r, twe_r = _tw_pair(pow(root_int, c, p), r)
     if long_cols:
         tw_c = jnp.zeros((NLIMB, 1, 1), dtype=jnp.uint32)
+        twe_c = jnp.zeros((NLIMB, 3, 8, 128), dtype=jnp.uint32)
     else:
-        tw_c = intern(
-            ("pallas_stage_tw", pow(root_int, r, p), c),
-            _stage_tw_dev(pow(root_int, r, p), c),
-        )
+        tw_c, twe_c = _tw_pair(pow(root_int, r, p), c)
     ft = intern(
         ("pallas_ft_tw", root_int, r, c), _ft_planes(root_int, r, c)
     )
-    return kern(x, _brev(r), _brev(c), tw_r, tw_c, ft)
+    return kern(x, _brev(r), _brev(c), tw_r, twe_r, tw_c, twe_c, ft)
 
 
 @functools.lru_cache(maxsize=None)
 def _ft_planes(root_int: int, r: int, c: int):
-    from .ntt import _twiddle_matrix_cached
+    from .ntt import _twiddle_build
 
-    with jax.ensure_compile_time_eval():
-        return _twiddle_matrix_cached(root_int, r, c).transpose(2, 0, 1)
+    # plane transpose fused into the twiddle build program (the eager
+    # transpose compiled a fresh program per (r, c) instance)
+    return _twiddle_build(root_int, r, c, True)
 
 
 #: max butterfly stages per pallas pass: the unrolled 10-stage dataflow at
@@ -426,13 +491,16 @@ def _ft_planes(root_int: int, r: int, c: int):
 _MAX_STAGES_PER_PASS = 10
 
 
-def ntt_planes(x_planes, tw, ft=None, *, n: int):
+def ntt_planes(x_planes, tw, twe, ft=None, *, n: int):
     """Transform bit-reversed limb planes [8, n, c] along axis 1.
 
     ``tw``: [8, log2n, n/2] stage twiddles (:func:`_stage_twiddle_table`);
+    ``twe``: [8, 3, 8, 128] select-form early-stage twiddles
+    (:func:`_early_tw_table`; pass None only when the kernel's select path
+    is inactive, i.e. c-tile < 128);
     ``ft``: optional [8, n, c] four-step twiddle multiplied in after the
-    last stage.  Row lengths above 2^10 run as two stage-range passes
-    (one extra HBM round trip) to stay inside VMEM.
+    last stage.  Row lengths above 2^10 do not fit VMEM and must route
+    through :func:`_planes_long_ntt` (the recursive four-step split).
     """
     c = x_planes.shape[-1]
     ctile = min(_CTILE, c)
@@ -445,4 +513,8 @@ def ntt_planes(x_planes, tw, ft=None, *, n: int):
     fuse = ft is not None
     if ft is None:
         ft = jnp.zeros((NLIMB, 1, 1), dtype=jnp.uint32)
-    return _ntt_planes_call(n, c, ctile, fuse, INTERPRET)(x_planes, tw, ft)
+    if twe is None:
+        twe = jnp.zeros((NLIMB, 3, 8, 128), dtype=jnp.uint32)
+    return _ntt_planes_call(n, c, ctile, fuse, INTERPRET)(
+        x_planes, tw, twe, ft
+    )

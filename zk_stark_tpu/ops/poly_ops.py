@@ -475,20 +475,25 @@ def fast_interpolate_domain(
 def _one_minus_invpow_cumprod(root_int: int, n: int):
     """G[j] = prod_{t=1..j} (1 - w^-t) for j in [0, n); G[0] = 1.
 
-    Returns (G, G_inv) device arrays [n, 8].
+    Returns (G, G_inv) device arrays [n, 8].  The impl runs as ONE pooled
+    jit: the former eager op-by-op build cost a ~0.4 s XLA compile plus a
+    multi-second transport dispatch *per op* on the remote backend (the
+    dominant share of the r4 cold-start wall time, measured via
+    jax_log_compiles).
     """
-    with jax.ensure_compile_time_eval():
-        return _one_minus_invpow_cumprod_impl(root_int, n)
+    from .constpool import build_pooled
+
+    return build_pooled(lambda: _one_minus_invpow_cumprod_impl(root_int, n))
 
 
 def _one_minus_invpow_cumprod_impl(root_int: int, n: int):
     root_inv = pow(root_int, -1, P)
     invpows = powers_mont(root_inv, n)  # w^{-t} for t in [0, n)
     one = jnp.broadcast_to(jnp.asarray(L.ONE_MONT), invpows.shape)
-    terms = L.sub_mod_jit(one, invpows)  # [1-1, 1-w^-1, ...]; index 0 is 0
+    terms = L.sub_mod(one, invpows)  # [1-1, 1-w^-1, ...]; index 0 is 0
     terms = terms.at[0].set(jnp.asarray(L.ONE_MONT))  # G starts at 1
     g = cumprod_mont(terms)
-    g_inv = L.batch_inv_jit(g)
+    g_inv = L.batch_inv(g)
     return g, g_inv
 
 
@@ -503,43 +508,65 @@ def _idx_mont_cached(k: int) -> jax.Array:
 
 @functools.lru_cache(maxsize=None)
 def _h_table_ntt(root_int: int, n: int):
-    """NTT of h where h[d] = 1/(w^d - 1) for d != 0, h[0] = 0 (cached)."""
-    with jax.ensure_compile_time_eval():
-        return _h_table_ntt_impl(root_int, n)
+    """NTT of h where h[d] = 1/(w^d - 1) for d != 0, h[0] = 0 (cached;
+    built as one pooled program, see constpool.build_pooled)."""
+    from .constpool import build_pooled
+
+    return build_pooled(lambda: _h_table_ntt_impl(root_int, n))
 
 
 def _h_table_ntt_impl(root_int: int, n: int):
     pows = powers_mont(root_int, n)
     one = jnp.broadcast_to(jnp.asarray(L.ONE_MONT), pows.shape)
-    diffs = L.sub_mod_jit(pows, one)  # index 0 -> 0
-    h = L.batch_inv_jit(diffs)  # inv(0) == 0 keeps h[0] = 0
+    diffs = L.sub_mod(pows, one)  # index 0 -> 0
+    h = L.batch_inv(diffs)  # inv(0) == 0 keeps h[0] = 0
     return ntt_mont(h, root_int)
 
 
 @functools.lru_cache(maxsize=None)
 def _zerofier_first_k_cached(root_int: int, n: int, k: int):
     """Returns (coeffs DPoly of degree k, zvals [n,8] on the full domain)."""
-    with jax.ensure_compile_time_eval():
-        return _zerofier_first_k_impl(root_int, n, k)
-
-
-def _zerofier_first_k_impl(root_int: int, n: int, k: int):
     assert 0 < k <= n
     if k == n:
         # Z = x^n - 1
         coeffs = [P - 1] + [0] * (n - 1) + [1]
-        zvals = jnp.zeros((n, L.NLIMB), dtype=jnp.uint32)
+        with jax.ensure_compile_time_eval():
+            zvals = jnp.zeros((n, L.NLIMB), dtype=jnp.uint32)
         return DPoly.from_ints(coeffs), zvals
 
-    g, g_inv = _one_minus_invpow_cumprod(root_int, n)
+    from .constpool import build_pooled
+
+    coeffs_c, zvals = build_pooled(
+        lambda: _zerofier_first_k_impl(root_int, n, k)
+    )
+    return DPoly(coeffs_c, k), zvals
+
+
+def _zerofier_first_k_impl(root_int: int, n: int, k: int):
+    g, g_inv = _cumprod_interned(root_int, n)
     wk = powers_mont(pow(root_int, k, P), n)  # w^{jk}
-    # Q_j = G_j / G_{j-k}; only used for j >= k
-    g_shift = jnp.roll(g_inv, k, axis=0)
-    zvals = L.mont_mul_jit(wk, L.mont_mul_jit(g, g_shift))
+    # Q_j = G_j / G_{j-k}; only used for j >= k.  Static-shift concatenate,
+    # NOT jnp.roll: the eager roll compiled a 61 s `_roll_static` program on
+    # the remote backend (measured r5, jax_log_compiles).
+    g_shift = jnp.concatenate([g_inv[n - k :], g_inv[: n - k]], axis=0)
+    zvals = L.mont_mul(wk, L.mont_mul(g, g_shift))
     mask = (jnp.arange(n) >= k)[:, None]
     zvals = jnp.where(mask, zvals, jnp.zeros_like(zvals))
-    coeffs = DPoly(intt_mont(zvals, root_int), k).truncated(k + 1)
+    coeffs = intt_mont(zvals, root_int)[: k + 1]
     return coeffs, zvals
+
+
+def _cumprod_interned(root_int: int, n: int):
+    """The cached cumprod tables, routed through the constant pool so
+    callers tracing over them (zerofier build, pooled prover segments) take
+    them as runtime arguments."""
+    from .constpool import intern
+
+    g, g_inv = _one_minus_invpow_cumprod(root_int, n)
+    return (
+        intern(("cumprod_g", root_int, n), g),
+        intern(("cumprod_gi", root_int, n), g_inv),
+    )
 
 
 def zerofier_first_k(root_int: int, n: int, k: int) -> DPoly:

@@ -36,10 +36,18 @@ def _unstack(arr):
     return [arr[k] for k in range(L.NLIMB)]
 
 
-def _planes_pow_windowed(x, e: int, window: int = 4):
+def _planes_pow_windowed(x, e: int, window: int = 4, unroll: bool = False):
     """x^e on stacked planes [8, rows, 128] (static e), fixed-window form —
-    the plane-layout counterpart of limbs.mont_pow_windowed (same multiply
-    count, same three compiled multiply instances)."""
+    the plane-layout counterpart of limbs.mont_pow_windowed.
+
+    Two trace shapes: the compact scan/table form (one multiply instance,
+    the XLA-CPU-compilable default) and, with ``unroll``, a fully static
+    unroll — digits of a static exponent are known at trace time, so the
+    table select is Python indexing and the squaring chain carries no
+    scan/dynamic-slice scaffolding between multiplies (the scan form's
+    per-digit dynamic_index of the [16, 8, r, 128] table measured as the
+    gap between the Rescue batch's 41.7% SoL and the bare multiply chain).
+    """
     one_col = jnp.asarray(L.ONE_MONT)  # [8]
     one = jnp.broadcast_to(
         one_col.reshape((L.NLIMB,) + (1,) * (x.ndim - 1)), x.shape
@@ -53,6 +61,20 @@ def _planes_pow_windowed(x, e: int, window: int = 4):
 
     def mulp(a, b):
         return _stack(mont_mul_planes(_unstack(a), _unstack(b)))
+
+    if unroll:
+        # static table: powers x^1..x^15 (x^0 never selected mid-chain for
+        # this exponent family, but keep it for generality)
+        table = [one, x]
+        for _ in range(2, mask + 1):
+            table.append(mulp(table[-1], x))
+        acc = table[digits[0]]
+        for d in digits[1:]:
+            for _ in range(window):
+                acc = mulp(acc, acc)
+            if d:
+                acc = mulp(acc, table[d])
+        return acc
 
     def tbody(acc, _):
         nxt = mulp(acc, x)
@@ -139,7 +161,8 @@ def _permutation_kernel_cols(
 
 @functools.lru_cache(maxsize=None)
 def _permutation_kernel(
-    m: int, n_rounds: int, alpha: int, alpha_inv: int, mds_flat: tuple
+    m: int, n_rounds: int, alpha: int, alpha_inv: int, mds_flat: tuple,
+    unroll_pow: bool = True,
 ):
     alpha_bits = [int(b) for b in bin(alpha)[2:]]
 
@@ -202,7 +225,7 @@ def _permutation_kernel(
                 round_constants, 2 * r * m, m, axis=0
             )
             s = addp(s, bc(c1))
-            s = _planes_pow_windowed(s, alpha_inv)
+            s = _planes_pow_windowed(s, alpha_inv, unroll=unroll_pow)
             s = mds_mul(s)
             c2 = jax.lax.dynamic_slice_in_dim(
                 round_constants, 2 * r * m + m, m, axis=0
@@ -234,18 +257,42 @@ def permutation_batch(
     import os
 
     m = state.shape[1]
+    # ZK_STARK_TPU_RESCUE_COLS=1 forces the column kernel for A/B on TPU;
+    # =0 (or unset) leaves the backend default (same 0/1 convention as
+    # ZK_STARK_TPU_DEVICE_MERKLE)
     if (
         jax.default_backend() == "cpu"
-        or os.environ.get("ZK_STARK_TPU_RESCUE_COLS")
+        or os.environ.get("ZK_STARK_TPU_RESCUE_COLS") == "1"
     ):
         kern = _permutation_kernel_cols(m, n_rounds, alpha, alpha_inv, (m,))
         return kern(state, mds, round_constants)
+    return _permutation_batch_planes(
+        state, mds, round_constants, n_rounds, alpha, alpha_inv
+    )
+
+
+def _permutation_batch_planes(
+    state, mds, round_constants, n_rounds, alpha, alpha_inv
+):
+    """Plane-layout permutation incl. the pad-to-128/slice-back path.
+
+    Split out of :func:`permutation_batch` so CPU parity tests can drive
+    the TPU kernel (in whatever backend is active) without the
+    backend-dispatch guard (tests/test_rescue.py)."""
+    m = state.shape[1]
     B = state.shape[0]
     pad = (-B) % 128
     if pad:
         state = jnp.concatenate(
             [state, jnp.zeros((pad, m, L.NLIMB), jnp.uint32)], axis=0
         )
-    kern = _permutation_kernel(m, n_rounds, alpha, alpha_inv, (m,))
+    # The statically-unrolled inverse-S-box chain (unroll_pow=True) was
+    # measured on hardware at 21.5 ms for the 2^14 batch vs 21.7 ms for the
+    # scan/table form — the chain is LATENCY-bound on its ~150 dependent
+    # multiplies, not on scan/dynamic-slice scaffolding — so the compact
+    # scan form (one multiply instance, XLA-CPU-compilable) stays default.
+    kern = _permutation_kernel(
+        m, n_rounds, alpha, alpha_inv, (m,), False
+    )
     out = kern(state, mds, round_constants)
     return out[:B] if pad else out

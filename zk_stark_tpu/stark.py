@@ -776,7 +776,15 @@ class Stark:
         W = len(weights)
         bz_lens = tuple(len(c) for c in bz_ints)
         bi_lens = tuple(len(c) for c in bi_ints)
-        orig_t = original_trace_length
+        # the transition zerofier uses the CONFIGURED trace length
+        # (ref: stark.rs:728 calls self.transition_zerofier(), which spans
+        # omicron^0..^(self.original_trace_length-2) per stark.rs:188-196);
+        # the boundary-derived original_trace_length above only feeds
+        # randomized_trace_length / boundary-quotient degree bounds
+        # (stark.rs:572-577).  Using the boundary-derived value here would
+        # reject valid proofs for any AIR whose boundary leaves the final
+        # cycle unconstrained.
+        orig_t = self.original_trace_length
         seg = self._seg_cache_get(
             "verify_seg",
             (K, W, orig_t, shifts_tq, shifts_bq, bz_lens, bi_lens,
